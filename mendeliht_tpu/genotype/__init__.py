@@ -1,0 +1,4 @@
+from .snparray import PackedGenotypes, maf, grm
+from .plink import SnpData, read_plink, write_plink_bed
+
+__all__ = ["PackedGenotypes", "SnpData", "read_plink", "write_plink_bed", "maf", "grm"]

@@ -1,0 +1,242 @@
+"""Packed 2-bit genotype container, TPU-native layout.
+
+This replaces the reference's external SnpArrays.jl ``SnpArray``/``SnpLinAlg``
+(see SURVEY.md §2.10; construction enforced at reference src/fit.jl:97-101).
+
+Storage format
+--------------
+PLINK `.bed` crumb codes are kept (2 bits / genotype):
+
+    0b00 = homozygous ref  -> additive value 0
+    0b01 = missing         -> imputed with per-SNP mean
+    0b10 = heterozygous    -> additive value 1
+    0b11 = homozygous alt  -> additive value 2
+
+but bytes are *crumb-transposed* relative to `.bed`: for a matrix with
+``n4 = ceil(n/4)`` (rounded up to a lane multiple), crumb ``s`` of byte
+``packed[j, b]`` holds sample ``s*n4 + b`` of SNP ``j``.  Consequence: a single
+``(packed >> 2s) & 3`` over a byte row yields a *contiguous*, naturally-ordered
+block of ``n4`` samples — decoding on TPU needs only shift/mask VPU ops and NO
+interleaving gathers, and the four shift-planes concatenate to the full sample
+axis.  This is the layout both the XLA fallback and the Pallas kernels consume.
+
+Standardization (matches reference semantics exactly; SnpLinAlg with
+``center=true, scale=true, impute=true`` and the VCF path's
+``standardize_genotypes!`` at reference src/wrapper.jl:406-423):
+
+    mu_j    = mean of observed additive values of SNP j
+    sd_j    = sqrt(mu_j * (1 - mu_j / 2))            # binomial HWE sd
+    x_std   = (value_or_imputed - mu_j) / sd_j       # sd_j == 0 -> no scaling
+
+The standardized matrix is never materialized; kernels decode raw values and
+apply (mu, 1/sd) algebraically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_LANE = 128  # pad n4 to a lane multiple so decoded planes tile cleanly
+_CHUNK_P = 1024  # host-side repack chunk
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_codes(codes: np.ndarray, n4: int | None = None) -> np.ndarray:
+    """Pack a (p, n) uint8 code matrix (values 0..3) into the crumb-transposed
+    (p, n4) uint8 layout. Padding samples are code 0 (additive value 0)."""
+    p, n = codes.shape
+    if n4 is None:
+        n4 = _ceil_to(-(-n // 4), _LANE)
+    n_pad = 4 * n4
+    out = np.zeros((p, n4), dtype=np.uint8)
+    for s in range(4):
+        lo, hi = s * n4, min((s + 1) * n4, n)
+        if lo >= n:
+            break
+        blk = codes[:, lo:hi].astype(np.uint8)
+        out[:, : hi - lo] |= blk << (2 * s)
+    return out
+
+
+def unpack_codes(packed: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_codes` -> (p, n) uint8 codes."""
+    p, n4 = packed.shape
+    planes = [(packed >> (2 * s)) & 0x3 for s in range(4)]
+    full = np.concatenate(planes, axis=1)
+    return full[:, :n]
+
+
+def codes_to_values(codes: np.ndarray) -> np.ndarray:
+    """Additive values from codes; missing (code 1) -> NaN. float64 output."""
+    lut = np.array([0.0, np.nan, 1.0, 2.0])
+    return lut[codes]
+
+
+def _stats_from_counts(n_obs, n_het, n_alt, dtype=np.float64):
+    """mu, sd (binomial), maf from per-SNP genotype counts."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mu = np.where(n_obs > 0, (n_het + 2.0 * n_alt) / np.maximum(n_obs, 1), 0.0)
+        sd = np.sqrt(np.maximum(mu * (1.0 - mu / 2.0), 0.0))
+        inv_sd = np.where(sd > 0, 1.0 / np.where(sd > 0, sd, 1.0), 0.0)
+    af = mu / 2.0
+    maf_ = np.minimum(af, 1.0 - af)
+    return mu.astype(dtype), inv_sd.astype(dtype), maf_.astype(dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedGenotypes:
+    """n x p standardized genotype operator backed by 2-bit packed storage.
+
+    Logical orientation follows the reference's univariate convention: samples
+    are rows, SNPs are columns (`x[i, j]`), though storage is SNP-major.
+    """
+
+    packed: jnp.ndarray      # (p, n4) uint8, crumb-transposed
+    mu: jnp.ndarray          # (p,) observed mean additive value
+    inv_sd: jnp.ndarray      # (p,) 1/sd, or 0 where sd == 0
+    n: int                   # true sample count (static)
+    p: int                   # true SNP count (static)
+    has_missing: bool        # static: skip missing-plane work when False
+    maf_: np.ndarray | None = None     # host-side minor allele freqs
+    n_missing: np.ndarray | None = None
+
+    # -- pytree plumbing ---------------------------------------------------
+    # host-only metadata (maf_, n_missing: numpy arrays) is intentionally NOT
+    # part of the pytree: aux data must be hashable/comparable for jit caching.
+    def tree_flatten(self):
+        return (self.packed, self.mu, self.inv_sd), (
+            self.n, self.p, self.has_missing)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        packed, mu, inv_sd = children
+        n, p, has_missing = aux
+        return cls(packed, mu, inv_sd, n, p, has_missing, None, None)
+
+    # -- properties --------------------------------------------------------
+    @property
+    def shape(self):
+        return (self.n, self.p)
+
+    @property
+    def n4(self) -> int:
+        return self.packed.shape[1]
+
+    @property
+    def n_pad(self) -> int:
+        return 4 * self.packed.shape[1]
+
+    @property
+    def dtype(self):
+        return self.mu.dtype
+
+    def __repr__(self):
+        return (f"PackedGenotypes(n={self.n}, p={self.p}, "
+                f"packed={tuple(self.packed.shape)} uint8, "
+                f"has_missing={self.has_missing})")
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def from_codes(cls, codes: np.ndarray, sample_major: bool = True,
+                   dtype=jnp.float32) -> "PackedGenotypes":
+        """Build from a dense uint8 code matrix (values 0..3).
+
+        ``sample_major=True`` means codes is (n, p) like the reference's
+        univariate x; internally we store SNP-major.
+        """
+        if sample_major:
+            codes = np.ascontiguousarray(codes.T)
+        codes = codes.astype(np.uint8, copy=False)
+        p, n = codes.shape
+        n_het = (codes == 2).sum(axis=1)
+        n_alt = (codes == 3).sum(axis=1)
+        n_mis = (codes == 1).sum(axis=1)
+        n_obs = n - n_mis
+        mu, inv_sd, maf_ = _stats_from_counts(n_obs, n_het, n_alt)
+        packed = pack_codes(codes)
+        np_dtype = np.dtype(dtype)
+        return cls(
+            packed=jnp.asarray(packed),
+            mu=jnp.asarray(mu.astype(np_dtype)),
+            inv_sd=jnp.asarray(inv_sd.astype(np_dtype)),
+            n=n, p=p, has_missing=bool(n_mis.sum() > 0),
+            maf_=maf_, n_missing=n_mis,
+        )
+
+    @classmethod
+    def from_bed_bytes(cls, bed: np.ndarray, n: int, p: int,
+                       dtype=jnp.float32) -> "PackedGenotypes":
+        """Build from raw PLINK `.bed` SNP-major payload (no 3-byte header).
+
+        `.bed` packs sample ``i`` of SNP ``j`` in crumb ``i % 4`` of byte
+        ``j * ceil(n/4) + i // 4``; we repack chunk-wise into the
+        crumb-transposed layout and gather per-SNP stats in the same pass.
+        """
+        bpr = -(-n // 4)  # bytes per SNP row in .bed
+        bed = bed.reshape(p, bpr)
+        n4 = _ceil_to(bpr, _LANE)
+        packed = np.zeros((p, n4), dtype=np.uint8)
+        n_het = np.zeros(p, dtype=np.int64)
+        n_alt = np.zeros(p, dtype=np.int64)
+        n_mis = np.zeros(p, dtype=np.int64)
+        shifts = np.arange(4, dtype=np.uint8) * 2
+        for lo in range(0, p, _CHUNK_P):
+            hi = min(lo + _CHUNK_P, p)
+            chunk = bed[lo:hi]                                   # (c, bpr)
+            # unpack: codes (c, bpr, 4) -> (c, 4*bpr) sample order
+            crumbs = (chunk[:, :, None] >> shifts[None, None, :]) & 0x3
+            codes = crumbs.reshape(hi - lo, 4 * bpr)[:, :n]
+            n_het[lo:hi] = (codes == 2).sum(axis=1)
+            n_alt[lo:hi] = (codes == 3).sum(axis=1)
+            n_mis[lo:hi] = (codes == 1).sum(axis=1)
+            packed[lo:hi] = pack_codes(codes, n4=n4)
+        mu, inv_sd, maf_ = _stats_from_counts(n - n_mis, n_het, n_alt)
+        np_dtype = np.dtype(dtype)
+        return cls(
+            packed=jnp.asarray(packed),
+            mu=jnp.asarray(mu.astype(np_dtype)),
+            inv_sd=jnp.asarray(inv_sd.astype(np_dtype)),
+            n=n, p=p, has_missing=bool(n_mis.sum() > 0),
+            maf_=maf_, n_missing=n_mis,
+        )
+
+    # -- host-side dense views (tests / small problems) --------------------
+    def to_codes(self) -> np.ndarray:
+        """(n, p) uint8 codes (sample-major)."""
+        return unpack_codes(np.asarray(self.packed), self.n).T
+
+    def to_dense_standardized(self, dtype=np.float64) -> np.ndarray:
+        """Materialize the (n, p) standardized, mean-imputed matrix (small
+        problems / correctness oracles only)."""
+        codes = self.to_codes()
+        vals = codes_to_values(codes)                            # NaN = missing
+        mu = np.asarray(self.mu, dtype=np.float64)[None, :]
+        inv = np.asarray(self.inv_sd, dtype=np.float64)[None, :]
+        vals = np.where(np.isnan(vals), mu, vals)
+        return ((vals - mu) * np.where(inv == 0, 1.0, inv)).astype(dtype)
+
+
+def maf(x: PackedGenotypes) -> np.ndarray:
+    """Minor allele frequency per SNP (reference: SnpArrays.maf, used at
+    src/utilities.jl:693)."""
+    if x.maf_ is not None:
+        return np.asarray(x.maf_)
+    af = np.asarray(x.mu) / 2.0
+    return np.minimum(af, 1.0 - af)
+
+
+def grm(x: PackedGenotypes, method: str = "GRM") -> np.ndarray:
+    """Genetic relationship matrix Z Z' / p on standardized genotypes
+    (reference usage: test/wrapper_test.jl:123). O(n^2 p): test-scale helper."""
+    Z = x.to_dense_standardized(dtype=np.float64)
+    if method not in ("GRM", "grm"):
+        raise ValueError(f"unsupported GRM method {method}")
+    return (Z @ Z.T) / x.p

@@ -1,0 +1,120 @@
+"""Cross-validation over (fold, sparsity) combinations
+(reference src/cross_validation.jl:60-131, :217-223, :279-320).
+
+TPU design: the reference fans (fold, k) combinations out to CPU threads with
+per-thread preallocated state; here the combinations form the *batch axis* of
+one jitted solver — every score pass is a single multi-RHS decode-matmul for
+all combinations at once, and fold masking uses the reference's own 0/1
+`cv_wts` trick so no genotype data ever moves."""
+
+from __future__ import annotations
+
+import time as _time
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import glm
+from .fit import build_fit, is_multivariate, cfg_est_r_requested
+from .initialize import init_state
+from .univariate import run_iht, predict_deviance
+from .results import print_cv_results, print_a_bunch_of_path_results
+
+
+def allocate_fold_and_k(q: int, path):
+    """All (fold, k) combinations (reference src/cross_validation.jl:217-223)."""
+    return [(fold, k) for fold in range(1, q + 1) for k in path]
+
+
+def meanloss(fitloss, q, folds):
+    """Fold-size weighted average of per-combination losses
+    (reference src/cross_validation.jl:304-320)."""
+    fitloss = np.asarray(fitloss, np.float64)
+    folds = np.asarray(folds)
+    ninfold = np.bincount(folds, minlength=q + 1)[1:]
+    pathsize = len(fitloss) // q
+    loss = np.zeros(pathsize)
+    for j in range(q):
+        w = ninfold[j] / len(folds)
+        loss += fitloss[j * pathsize:(j + 1) * pathsize] * w
+    return loss
+
+
+def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
+           group=None, weight=None, zkeep=None, folds=None, debias=False,
+           verbose=True, max_iter=100, min_iter=5, init_beta=False,
+           memory_efficient=True, dtype=jnp.float32, rng=None):
+    """q-fold cross validation over a path of sparsity levels; returns the
+    vector of fold-size-weighted holdout deviances per k (reference
+    src/cross_validation.jl:60-131)."""
+    if is_multivariate(y):
+        from .mv import cv_mv_iht
+        return cv_mv_iht(y, x, z, path=path, q=q, folds=folds, zkeep=zkeep,
+                         debias=debias, verbose=verbose, max_iter=max_iter,
+                         min_iter=min_iter, init_beta=init_beta, dtype=dtype,
+                         rng=rng)
+
+    d = d if d is not None else glm.Normal()
+    path = list(path) if path is not None else list(range(1, 21))
+    op, data, cfg, _ = build_fit(
+        y, x, z, k=max(path), J=1, d=d, l=l, group=group, weight=weight,
+        zkeep=zkeep, est_r=est_r, debias=debias, max_iter=max_iter,
+        min_iter=min_iter, dtype=dtype)
+    if max(path) > op.p:
+        raise ValueError("Sparsity level in `path` cannot be larger than "
+                         "total number of variables")
+
+    n = op.n
+    if folds is None:
+        rng = np.random.default_rng() if rng is None else rng
+        folds = rng.integers(1, q + 1, size=n)
+    folds = np.asarray(folds)
+
+    combos = allocate_fold_and_k(q, path)
+    B = len(combos)
+    ks = jnp.asarray([k for _, k in combos], jnp.int32)
+    train = np.zeros((B, op.n_pad), np.float32)
+    test = np.zeros((B, op.n_pad), np.float32)
+    for i, (fold, _) in enumerate(combos):
+        train[i, :n] = folds != fold
+        test[i, :n] = folds == fold
+
+    t0 = _time.time()
+    st = init_state(op, data, cfg, ks, jnp.asarray(train, op.dtype),
+                    init_beta=init_beta)
+    st = run_iht(op, data, cfg, st)
+    mses = np.asarray(predict_deviance(op, data, cfg, st,
+                                       jnp.asarray(test, op.dtype)))
+    elapsed = _time.time() - t0
+
+    mse = meanloss(mses, q, folds)
+    best_k = path[int(np.argmin(mse))]
+    if verbose:
+        print_cv_results(sys.stdout, mse, path, best_k)
+        print(f"Cross validation took {elapsed:.3f} seconds")
+    return mse
+
+
+def iht_run_many_models(y, x, z=None, d=None, l=None, path=None, est_r="none",
+                        group=None, weight=None, use_maf=False, debias=False,
+                        verbose=True, parallel=True, max_iter=100,
+                        dtype=jnp.float32):
+    """Fit every k in `path` on the full data (no holdout) and return the
+    loglikelihoods (reference src/cross_validation.jl:232-277). All models run
+    as one batch."""
+    d = d if d is not None else glm.Normal()
+    path = list(path) if path is not None else list(range(1, 21))
+    op, data, cfg, _ = build_fit(
+        y, x, z, k=max(path), J=1, d=d, l=l, group=group, weight=weight,
+        est_r=est_r, debias=debias, max_iter=max_iter, dtype=dtype)
+
+    B = len(path)
+    ks = jnp.asarray(path, jnp.int32)
+    cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (B, op.n_pad))
+    st = init_state(op, data, cfg, ks, cv_wts)
+    st = run_iht(op, data, cfg, st)
+    logls = np.asarray(st.best_logl, np.float64)
+    if verbose:
+        print_a_bunch_of_path_results(sys.stdout, logls, path)
+    return logls

@@ -1,0 +1,207 @@
+"""Public `fit_iht` (reference src/fit.jl:60-127) plus the batched entry used
+by cross-validation."""
+
+from __future__ import annotations
+
+import time as _time
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import glm
+from ..ops.linalg import make_operator, PackedOp
+from ..genotype.snparray import PackedGenotypes
+from .state import FitConfig, FitData
+from .initialize import init_state
+from .univariate import run_iht
+from .pve import pve as _pve, masked_var
+from .results import IHTResult
+
+
+def is_multivariate(y) -> bool:
+    """Reference src/multivariate.jl:481-483."""
+    y = np.asarray(y)
+    return y.ndim == 2 and y.shape[0] > 1 and y.shape[1] > 1
+
+
+def checky(y, dist: str):
+    """Response-range validation (the reference imports GLM.checky)."""
+    y = np.asarray(y)
+    if dist == "bernoulli" and not np.all((y == 0) | (y == 1)):
+        raise ValueError("Bernoulli responses must be 0 or 1")
+    if dist in ("poisson", "negativebinomial") and np.any(y < 0):
+        raise ValueError(f"{dist} responses must be nonnegative")
+    if dist in ("gamma", "inversegaussian") and np.any(y <= 0):
+        raise ValueError(f"{dist} responses must be positive")
+
+
+def check_group(k, group):
+    """Reference src/utilities.jl:902-915."""
+    if isinstance(k, (list, tuple, np.ndarray)):
+        group = np.asarray(group)
+        if group.size <= 1:
+            raise ValueError("Doubly sparse projection specified (k is a "
+                             "vector) but there is no group information.")
+        for i, ki in enumerate(np.asarray(k), start=1):
+            members = int((group == i).sum())
+            if members < ki:
+                raise ValueError(f"Maximum predictors for group {i} was {ki} "
+                                 f"but the group has only {members} predictors.")
+    else:
+        if k < 0:
+            raise ValueError("Value of k (max predictors per group) must be nonnegative!")
+
+
+def _prepare_univariate(y, x, z, dtype):
+    """Build operator + padded per-sample arrays."""
+    op = make_operator(x, dtype=dtype)
+    n, n_pad = op.n, op.n_pad
+    y = np.asarray(y, dtype=np.float64).reshape(-1)
+    if len(y) != n:
+        raise ValueError(f"length(y)={len(y)} but x has {n} samples")
+    if z is None:
+        z = np.ones((n, 1))
+    z = np.asarray(z, dtype=np.float64)
+    if z.ndim == 1:
+        z = z[:, None]
+    if z.shape[0] != n:
+        raise ValueError(f"z has {z.shape[0]} rows but x has {n} samples")
+    y_pad = np.zeros(n_pad)
+    y_pad[:n] = y
+    z_pad = np.zeros((n_pad, z.shape[1]))
+    z_pad[:n] = z
+    mask = np.zeros(n_pad)
+    mask[:n] = 1.0
+    return op, jnp.asarray(y_pad, dtype), jnp.asarray(z_pad, dtype), \
+        jnp.asarray(mask, dtype)
+
+
+def build_fit(y, x, z=None, *, k=10, J=1, d=None, l=None, group=None,
+              weight=None, zkeep=None, est_r="none", debias=False,
+              tol=1e-4, max_iter=200, min_iter=5, max_step=3,
+              S=None, dtype=jnp.float32):
+    """Shared setup: returns (op, data, cfg, ks_default)."""
+    d = d if d is not None else glm.Normal()
+    dist = glm.dist_name(d)
+    link = glm.link_name(l) if l is not None else glm._CANONICAL[dist]
+    checky(y, dist)
+
+    op, y_pad, z_pad, mask = _prepare_univariate(y, x, z, dtype)
+    p, q = op.p, z_pad.shape[1]
+
+    if zkeep is None:
+        zkeep_arr = np.ones(q, bool)
+    else:
+        zkeep_arr = np.asarray(zkeep, bool)
+        if zkeep_arr.shape != (q,):
+            raise ValueError(f"zkeep must have length {q}")
+    zkeepn = int(zkeep_arr.sum())
+
+    use_group = group is not None and np.asarray(group).size > 0
+    group_k_is_vector = isinstance(k, (list, tuple, np.ndarray))
+    if use_group or group_k_is_vector:
+        check_group(k, group if group is not None else np.asarray([]))
+    if use_group:
+        group_arr = np.asarray(group, np.int32)
+        if group_arr.shape != (p,):
+            raise ValueError(f"group must have length {p}")
+        n_groups = int(group_arr.max())
+        if group_k_is_vector:
+            gks = np.asarray(k, np.int32)
+            k_scalar = int(np.sum(gks))
+        else:
+            gks = np.full(n_groups, int(k), np.int32)
+            k_scalar = int(J) * int(k)
+    else:
+        group_arr = np.ones(p, np.int32)
+        n_groups = 1
+        gks = np.asarray([0], np.int32)
+        k_scalar = int(k)
+
+    has_weight = weight is not None and np.asarray(weight).size > 0
+    if has_weight:
+        w = np.asarray(weight, np.float64).reshape(-1)
+        if w.shape[0] == p:
+            w = np.concatenate([w, np.ones(q)])
+        if w.shape[0] != p + q:
+            raise ValueError(f"weight must have length {p} or {p + q}")
+    else:
+        w = np.ones(p + q)
+
+    if S is None:
+        S = min(k_scalar + zkeepn + (q - zkeepn), p + q)
+        S = max(S, 1)
+
+    data = FitData(
+        y=y_pad, z=z_pad, zkeep=jnp.asarray(zkeep_arr),
+        weight=jnp.asarray(w, dtype), group=jnp.asarray(group_arr),
+        group_ks=jnp.asarray(gks), sample_mask=mask, n_true=op.n,
+    )
+    cfg = FitConfig(
+        dist=dist, link=link, S=int(S), zkeepn=zkeepn, max_iter=int(max_iter),
+        min_iter=int(min_iter), max_step=int(max_step), tol=float(tol),
+        est_r=("none" if est_r in (None, "none", ":None") else
+               str(est_r).lower().strip(":")),
+        debias=bool(debias), use_group=bool(use_group), J=int(J),
+        n_groups=n_groups, group_k_is_vector=group_k_is_vector,
+        has_weight=bool(has_weight), dtype=str(np.dtype(dtype)),
+    )
+    return op, data, cfg, k_scalar
+
+
+def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
+            zkeep=None, est_r="none", use_maf=False, debias=False,
+            verbose=True, tol=1e-4, max_iter=200, min_iter=5, max_step=3,
+            io=None, init_beta=False, memory_efficient=True,
+            dtype=jnp.float32):
+    """Fit one IHT model at sparsity k (reference src/fit.jl:60-118).
+
+    `x` may be a PackedGenotypes (standardization + mean-imputation applied on
+    the fly) or a dense (n, p) matrix used verbatim.  For multivariate traits
+    pass y with shape (r, n) and x/z with samples as columns — see
+    `models.mv`. ``memory_efficient`` is accepted for API parity (all code
+    paths here are memory-efficient by construction)."""
+    if is_multivariate(y):
+        from .mv import fit_mv_iht
+        return fit_mv_iht(y, x, z, k=k, d=d, verbose=verbose, tol=tol,
+                          max_iter=max_iter, min_iter=min_iter,
+                          max_step=max_step, zkeep=zkeep, io=io,
+                          init_beta=init_beta, debias=debias, dtype=dtype)
+
+    d = d if d is not None else glm.Normal()
+    if glm.dist_name(d) != "negativebinomial" and cfg_est_r_requested(est_r):
+        raise ValueError("Only negative binomial regression supports "
+                         "nuisance parameter estimation")
+    op, data, cfg, k_scalar = build_fit(
+        y, x, z, k=k, J=J, d=d, l=l, group=group, weight=weight, zkeep=zkeep,
+        est_r=est_r, debias=debias, tol=tol, max_iter=max_iter,
+        min_iter=min_iter, max_step=max_step, dtype=dtype)
+    if init_beta and cfg.dist != "normal":
+        raise ValueError("Initializing beta values only works for Gaussian "
+                         "phenotypes! Sorry!")
+
+    t0 = _time.time()
+    ks = jnp.asarray([0 if cfg.group_k_is_vector else k_scalar], jnp.int32)
+    cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
+    st = init_state(op, data, cfg, ks, cv_wts, init_beta=init_beta)
+    st = run_iht(op, data, cfg, st)
+    st.b.block_until_ready()
+    tot_time = _time.time() - t0
+
+    if bool(st.failed[0]):
+        raise FloatingPointError("Loglikelihood function is NaN/Inf, aborting...")
+
+    sigma_g = float(_pve(data.y, st.mu[0], data.sample_mask, data.n_true))
+    result = IHTResult(
+        time=tot_time, logl=float(st.best_logl[0]), iter=int(st.iters[0]),
+        beta=np.asarray(st.b[0]), c=np.asarray(st.c[0]), J=J,
+        k=(list(np.asarray(k)) if cfg.group_k_is_vector else int(k)),
+        group=(np.asarray(group) if group is not None else np.array([], int)),
+        d=d, sigma_g=sigma_g)
+    if verbose:
+        print(result, file=io) if io is not None else print(result)
+    return result
+
+
+def cfg_est_r_requested(est_r):
+    return est_r not in (None, "none", ":None", "None")

@@ -1,0 +1,260 @@
+"""Batched univariate IHT solver: one jitted `lax.while_loop`.
+
+Mirrors the reference algorithm step-for-step (reference: src/fit.jl:145-263
+`fit_iht!` / `iht_one_step!`, src/utilities.jl:252-280 `_iht_gradstep!`,
+:722-764 `iht_stepsize!`, :366-438 `init_iht_indices!`), but redesigned
+TPU-first:
+
+  * all (fold, sparsity) tasks advance together on a leading batch axis with
+    masked updates — the heavy `X'r` score is a single multi-RHS fused
+    decode-matmul per iteration for the entire batch;
+  * support is carried as a static-size index list (S slots) so the k-sparse
+    forward products are gathers + small matmuls with static shapes;
+  * backtracking is a bounded `fori_loop` (max_step, reference default 3);
+  * convergence freezes a task's lanes; the loop exits when all tasks are
+    done or `iteration == max_iter - 1` (the reference's `for iter in
+    1:max_iter` breaks *before* stepping at iter == max_iter).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import glm, negbin
+from ..ops.projections import project_topk_joint, project_group_sparse_batched, select_support
+from .state import IHTState, FitConfig, FitData
+
+_INF_STEP_GUARD = 1e-8
+
+
+def _where_b(mask, new, old):
+    """Merge with (B,)-bool mask broadcast over trailing dims."""
+    return jnp.where(mask.reshape(mask.shape + (1,) * (new.ndim - 1)), new, old)
+
+
+# ---------------------------------------------------------------------------
+# pieces of one IHT step
+# ---------------------------------------------------------------------------
+
+def _split_sel(sel_idx, sel_valid, p):
+    """sel indexes the concatenated [b; c] vector; split genetic part."""
+    is_g = sel_idx < p
+    gidx = jnp.where(is_g, sel_idx, 0)
+    gval = sel_valid & is_g
+    return gidx, gval
+
+
+def _stepsize(op, data: FitData, cfg: FitConfig, st: IHTState):
+    """eta = ||grad_supp||^2 / ||sqrt(W) X grad_supp||^2
+    (reference src/utilities.jl:722-764)."""
+    gidx, gval = _split_sel(st.sel_idx, st.sel_valid, op.p)
+    df_sel = jnp.take_along_axis(st.df, gidx, axis=1)
+    df_sel = jnp.where(gval, df_sel, 0.0)
+    numer = jnp.sum(df_sel * df_sel, axis=1)
+    df2_supp = jnp.where(st.idc, st.df2, 0.0)
+    numer = numer + jnp.sum(df2_supp * df2_supp, axis=1)
+
+    xgk = op.forward_sel(gidx, df_sel, gval.astype(df_sel.dtype))
+    xgk = xgk + jnp.dot(df2_supp, data.z.T)
+    eta_lin = st.xb + st.zc
+    me = glm.mueta(cfg.link, eta_lin)
+    gv = jnp.maximum(glm.glmvar(cfg.dist, st.mu, nb_r=st.nb_r[:, None]), 1e-30)
+    w = jnp.sqrt(me * me / gv) * st.cv_wts
+    wx = xgk * w
+    denom = jnp.sum(wx * wx, axis=1)
+    eta = numer / denom
+    bad = jnp.isinf(eta) | jnp.isnan(eta)
+    return jnp.where(bad, jnp.asarray(_INF_STEP_GUARD, eta.dtype), eta)
+
+
+def _gradstep(op, data: FitData, cfg: FitConfig, st: IHTState, eta):
+    """b = P_k(b0 + eta*df), c = P(c0 + eta*df2); returns (b, c, sel, idc)
+    (reference src/utilities.jl:252-280)."""
+    b1 = st.b0 + eta[:, None] * st.df
+    c1 = st.c0 + eta[:, None] * st.df2
+    if cfg.use_group:
+        # group path projects only the genetic coefficients
+        # (reference src/utilities.jl:267-269)
+        b_new = project_group_sparse_batched(b1, data.group, cfg.J, data.group_ks, cfg.n_groups)
+        c_new = c1
+        sel_idx, sel_valid = select_support(
+            b_new, jnp.zeros_like(c1), data.zkeep, cfg.S)
+    else:
+        weight = data.weight if cfg.has_weight else None
+        b_new, c_new, sel_idx, _, sel_valid = project_topk_joint(
+            b1, c1, st.k + cfg.zkeepn, data.zkeep, cfg.S, weight=weight)
+    idc = c_new != 0
+    return b_new, c_new, sel_idx, sel_valid, idc
+
+
+def _forward(op, data: FitData, cfg: FitConfig, b, c, sel_idx, sel_valid):
+    """xb = X[:, supp] b_supp; zc = Z c; clamp +-20 for exponential links
+    (reference src/utilities.jl:93-118)."""
+    gidx, gval = _split_sel(sel_idx, sel_valid, op.p)
+    bcoef = jnp.take_along_axis(b, gidx, axis=1)
+    xb = op.forward_sel(gidx, bcoef, gval.astype(b.dtype))
+    zc = jnp.dot(c, data.z.T)
+    if cfg.dist != "normal":
+        xb = jnp.clip(xb, -20.0, 20.0)
+        zc = jnp.clip(zc, -20.0, 20.0)
+    return xb, zc
+
+
+def _loglik(data: FitData, cfg: FitConfig, mu, cv_wts, nb_r):
+    return glm.loglikelihood(cfg.dist, data.y[None, :], mu, cv_wts,
+                             data.n_true, nb_r=nb_r[:, None], axis=1)
+
+
+def _score(op, data: FitData, cfg: FitConfig, st: IHTState):
+    """df = X' W (y-mu), df2 = Z' W (y-mu) (reference src/utilities.jl:126-135)."""
+    eta_lin = st.xb + st.zc
+    r = glm.score_residual(cfg.dist, cfg.link, data.y[None, :], st.mu, eta_lin,
+                           st.cv_wts, nb_r=st.nb_r[:, None])
+    df = op.xtr(r)
+    df2 = jnp.dot(r, data.z)
+    return df, df2
+
+
+def _maybe_update_r(data, cfg, mu, nb_r, cv_wts):
+    if cfg.est_r == "none":
+        return nb_r
+    return negbin.mle_for_r(cfg.est_r, data.y, mu, nb_r, data.sample_mask,
+                            cv_wts, data.n_true)
+
+
+# ---------------------------------------------------------------------------
+# one full iteration (save_prev -> one_step -> debias -> convergence)
+# ---------------------------------------------------------------------------
+
+def _iteration(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
+    act = st.active
+
+    # ---- save_prev (reference src/utilities.jl:702-712)
+    improved = act & (st.logl > st.best_logl)
+    best_b = _where_b(improved, st.b, st.best_b)
+    best_c = _where_b(improved, st.c, st.best_c)
+    best_logl = jnp.where(improved, st.logl, st.best_logl)
+    b0 = _where_b(act, st.b, st.b0)
+    c0 = _where_b(act, st.c, st.c0)
+    st = dataclasses.replace(st, b0=b0, c0=c0, best_b=best_b, best_c=best_c,
+                             best_logl=best_logl)
+
+    # ---- one IHT step (reference src/fit.jl:213-263)
+    eta = _stepsize(op, data, cfg, st)
+    old_logl = st.logl
+
+    def take_step(eta_t):
+        b, c, sel_idx, sel_valid, idc = _gradstep(op, data, cfg, st, eta_t)
+        xb, zc = _forward(op, data, cfg, b, c, sel_idx, sel_valid)
+        mu = glm.linkinv(cfg.link, xb + zc)
+        nb_r = _maybe_update_r(data, cfg, mu, st.nb_r, st.cv_wts)
+        logl = _loglik(data, cfg, mu, st.cv_wts, nb_r)
+        return dict(b=b, c=c, sel_idx=sel_idx, sel_valid=sel_valid, idc=idc,
+                    xb=xb, zc=zc, mu=mu, nb_r=nb_r, logl=logl)
+
+    cur = take_step(eta)
+    n_bt = jnp.zeros_like(eta, dtype=jnp.int32)
+
+    def bt_body(_, carry):
+        cur, eta, n_bt = carry
+        need = act & (old_logl > cur["logl"]) & (n_bt < cfg.max_step)
+        eta2 = jnp.where(need, eta / 2, eta)
+        nxt = take_step(eta2)
+        merged = {k: _where_b(need, nxt[k], cur[k]) for k in cur}
+        return merged, eta2, n_bt + need.astype(jnp.int32)
+
+    cur, eta, n_bt = jax.lax.fori_loop(0, cfg.max_step, bt_body,
+                                       (cur, eta, n_bt))
+
+    new = dataclasses.replace(
+        st,
+        b=_where_b(act, cur["b"], st.b), c=_where_b(act, cur["c"], st.c),
+        sel_idx=_where_b(act, cur["sel_idx"], st.sel_idx),
+        sel_valid=_where_b(act, cur["sel_valid"], st.sel_valid),
+        idc=_where_b(act, cur["idc"], st.idc),
+        xb=_where_b(act, cur["xb"], st.xb), zc=_where_b(act, cur["zc"], st.zc),
+        mu=_where_b(act, cur["mu"], st.mu),
+        nb_r=jnp.where(act, cur["nb_r"], st.nb_r),
+        logl=jnp.where(act, cur["logl"], st.logl),
+        eta=jnp.where(act, eta, st.eta),
+        backtracks=jnp.where(act, n_bt, st.backtracks),
+    )
+
+    # score at accepted iterate
+    df, df2 = _score(op, data, cfg, new)
+    new = dataclasses.replace(new, df=_where_b(act, df, new.df),
+                              df2=_where_b(act, df2, new.df2))
+
+    # non-finite loglikelihood -> fail the task (reference throws, fit.jl:259)
+    bad = act & (jnp.isnan(new.logl) | jnp.isinf(new.logl))
+    failed = new.failed | bad
+
+    # ---- debias (reference src/fit.jl:188, utilities.jl:1014-1020)
+    if cfg.debias:
+        from .debias import debias_refit
+        supp_same = jnp.all((new.b != 0) == (new.b0 != 0), axis=1)
+        do_db = act & supp_same & (new.iteration + 1 >= 5)
+        b_db = debias_refit(op, data, cfg, new)
+        new = dataclasses.replace(new, b=_where_b(do_db, b_db, new.b))
+
+    # ---- convergence (reference src/utilities.jl:953-957, fit.jl:193-203)
+    it = new.iteration + 1  # 1-based iteration just completed
+    db = jnp.max(jnp.abs(new.b - new.b0), axis=1)
+    dc = jnp.max(jnp.abs(new.c - new.c0), axis=1)
+    the_norm = jnp.maximum(db, dc)
+    denom = jnp.maximum(jnp.max(jnp.abs(new.b0), axis=1),
+                        jnp.max(jnp.abs(new.c0), axis=1)) + 1.0
+    scaled = the_norm / denom
+    done = act & (((it >= cfg.min_iter) & (scaled < cfg.tol)) | bad)
+    iters = jnp.where(done, it, new.iters)
+    active = act & ~done
+
+    return dataclasses.replace(new, active=active, failed=failed, iters=iters,
+                               iteration=it)
+
+
+# ---------------------------------------------------------------------------
+# main loop + finalization
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_iht(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
+    def cond(s):
+        return jnp.any(s.active) & (s.iteration < cfg.max_iter - 1)
+
+    def body(s):
+        return _iteration(op, data, cfg, s)
+
+    st = jax.lax.while_loop(cond, body, st)
+    # tasks that never converged report max_iter (reference fit.jl:169-179)
+    iters = jnp.where(st.active, cfg.max_iter, st.iters)
+    # final save_prev: count the last iterate's loglikelihood
+    improved = st.logl > st.best_logl
+    best_b = _where_b(improved, st.b, st.best_b)
+    best_c = _where_b(improved, st.c, st.best_c)
+    best_logl = jnp.where(improved, st.logl, st.best_logl)
+    st = dataclasses.replace(st, best_b=best_b, best_c=best_c,
+                             best_logl=best_logl, iters=iters,
+                             active=jnp.zeros_like(st.active))
+    # save_best_model!: restore best iterate, recompute xb / genotype-only mu
+    # (reference src/utilities.jl:995-1006)
+    sel_idx, sel_valid = select_support(st.best_b, st.best_c, data.zkeep, cfg.S)
+    xb, zc = _forward(op, data, cfg, st.best_b, st.best_c, sel_idx, sel_valid)
+    mu = glm.linkinv(cfg.link, xb)  # NOTE: genotype-only mean, used by pve
+    return dataclasses.replace(st, b=st.best_b, c=st.best_c,
+                               sel_idx=sel_idx, sel_valid=sel_valid,
+                               idc=st.best_c != 0, xb=xb, zc=zc, mu=mu)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def predict_deviance(op, data: FitData, cfg: FitConfig, st: IHTState,
+                     test_wts: jnp.ndarray) -> jnp.ndarray:
+    """Holdout deviance of the fitted model (reference predict!,
+    src/cross_validation.jl:279-286): recompute full mu = g^-1(xb + zc)."""
+    mu = glm.linkinv(cfg.link, st.xb + st.zc)
+    return glm.deviance(cfg.dist, data.y[None, :], mu, test_wts,
+                        nb_r=st.nb_r[:, None], axis=1)

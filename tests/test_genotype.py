@@ -1,0 +1,67 @@
+"""Genotype container tests (reference analog: SnpArrays correctness assumed;
+here we test pack/unpack/stat/standardization invariants directly)."""
+
+import numpy as np
+import pytest
+
+from mendeliht_tpu.genotype.snparray import (
+    PackedGenotypes, pack_codes, unpack_codes)
+from mendeliht_tpu.genotype.plink import read_plink, write_plink_bed
+from mendeliht_tpu.genotype import maf, grm
+
+
+def test_pack_unpack_roundtrip(rng):
+    codes = rng.choice([0, 1, 2, 3], size=(57, 130)).astype(np.uint8)
+    packed = pack_codes(np.ascontiguousarray(codes.T))
+    assert np.array_equal(unpack_codes(packed, 57).T, codes)
+
+
+def test_from_codes_stats(rng):
+    n, p = 201, 97
+    codes = rng.choice([0, 1, 2, 3], size=(n, p),
+                       p=[.4, .05, .3, .25]).astype(np.uint8)
+    g = PackedGenotypes.from_codes(codes)
+    vals = np.array([0, np.nan, 1, 2.])[codes]
+    mu = np.nanmean(vals, axis=0)
+    np.testing.assert_allclose(np.asarray(g.mu), mu, atol=1e-6)
+    sd = np.sqrt(mu * (1 - mu / 2))
+    inv = np.where(sd > 0, 1 / np.where(sd > 0, sd, 1), 0)
+    np.testing.assert_allclose(np.asarray(g.inv_sd), inv, atol=1e-5)
+    assert g.has_missing
+    # standardized dense view: columns have ~0 mean when imputing by mean
+    X = g.to_dense_standardized()
+    np.testing.assert_allclose(X.mean(axis=0), 0, atol=1e-6)
+
+
+def test_bed_roundtrip(tmp_path, rng):
+    n, p = 83, 45
+    codes = rng.choice([0, 1, 2, 3], size=(n, p)).astype(np.uint8)
+    bed = tmp_path / "x.bed"
+    write_plink_bed(str(bed), codes)
+    with open(tmp_path / "x.bim", "w") as f:
+        for j in range(p):
+            f.write(f"1\tsnp{j+1}\t0\t{j+1}\t1\t2\n")
+    with open(tmp_path / "x.fam", "w") as f:
+        for i in range(n):
+            f.write(f"{i+1}\t1\t0\t0\t1\t-9\n")
+    snp = read_plink(str(tmp_path / "x"))
+    assert snp.people == n and snp.snps == p
+    assert np.array_equal(snp.snparray.to_codes(), codes)
+
+
+def test_reference_bed_loads():
+    snp = read_plink("/root/reference/data/normal")
+    assert snp.people == 1000 and snp.snps == 10000
+    assert not snp.snparray.has_missing
+    m = maf(snp.snparray)
+    assert np.all((m >= 0) & (m <= 0.5))
+
+
+def test_maf_and_grm(rng):
+    codes = rng.choice([0, 2, 3], size=(60, 40)).astype(np.uint8)
+    g = PackedGenotypes.from_codes(codes)
+    G = grm(g)
+    assert G.shape == (60, 60)
+    np.testing.assert_allclose(G, G.T, atol=1e-12)
+    X = g.to_dense_standardized()
+    np.testing.assert_allclose(G, X @ X.T / g.p, atol=1e-10)

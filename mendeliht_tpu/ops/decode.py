@@ -106,6 +106,34 @@ def gather_decode_raw(packed: jnp.ndarray, idx: jnp.ndarray, dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("want_missing",))
+def sparse_forward_raw_multi(packed: jnp.ndarray, idx: jnp.ndarray,
+                             coef: jnp.ndarray, mu: jnp.ndarray,
+                             *, want_missing: bool):
+    """Multi-trait raw sparse forward product (multivariate IHT).
+
+    packed: (p, n4); idx: (B, S) SNP indices shared across traits;
+    coef: (B, R, S) per-trait coefficients already scaled by inv_sd and
+    masked. Returns (B, R, 4*n4).  Gathers each selected SNP row once and
+    contracts against all traits (reference analog: update_xb! BX = B[:,idx] *
+    X[idx,:], src/multivariate.jl:21-31)."""
+    B, S = idx.shape
+    n4 = packed.shape[1]
+    dtype = coef.dtype
+    g = packed[idx.reshape(-1)].reshape(B, S, n4)
+    mus = mu[idx][:, None, :] * coef                  # (B, R, S)
+    out = []
+    for s in range(4):
+        crumbs = _plane_crumbs(g, s)
+        val, miss, _, _ = plane_val_miss(crumbs, dtype, want_missing)
+        xb_s = jnp.einsum("bsn,brs->brn", val, coef, precision=DOT_PREC)
+        if want_missing:
+            xb_s = xb_s + jnp.einsum("bsn,brs->brn", miss, mus,
+                                     precision=DOT_PREC)
+        out.append(xb_s)
+    return jnp.concatenate(out, axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("want_missing",))
 def sparse_forward_raw(packed: jnp.ndarray, idx: jnp.ndarray, coef: jnp.ndarray,
                        mu: jnp.ndarray, *, want_missing: bool):
     """Raw sparse forward product plus missing correction.

@@ -97,6 +97,17 @@ class PackedOp:
         const = jnp.sum(coef_s * g.mu[idx], axis=1)       # (B,)
         return raw - const[:, None]
 
+    def forward_sel_multi(self, idx: jnp.ndarray, coef: jnp.ndarray,
+                          valid: jnp.ndarray) -> jnp.ndarray:
+        """Multi-trait standardized forward product: idx (B,S), coef (B,R,S),
+        valid (B,S) -> (B, R, n_pad)."""
+        g = self.geno
+        coef_s = coef * (g.inv_sd[idx] * valid)[:, None, :]
+        raw = decode.sparse_forward_raw_multi(g.packed, idx, coef_s, g.mu,
+                                              want_missing=g.has_missing)
+        const = jnp.sum(coef_s * g.mu[idx][:, None, :], axis=2)   # (B, R)
+        return raw - const[:, :, None]
+
     def gather_cols(self, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         """Materialize standardized columns X[:, idx] -> (B, S, n_pad);
         invalid slots are zeroed. Used by the (small-S) debias refit."""
@@ -172,6 +183,11 @@ class DenseOp:
     def forward_sel(self, idx, coef, valid):
         cols = jnp.take(self.x.T, idx, axis=0)            # (B, S, n)
         return jnp.einsum("bjn,bj->bn", cols, coef * valid,
+                          precision=decode.DOT_PREC)
+
+    def forward_sel_multi(self, idx, coef, valid):
+        cols = jnp.take(self.x.T, idx, axis=0)            # (B, S, n)
+        return jnp.einsum("bsn,brs->brn", cols, coef * valid[:, None, :],
                           precision=decode.DOT_PREC)
 
     def gather_cols(self, idx, valid):

@@ -1,0 +1,95 @@
+"""Multivariate IHT tests (reference analog: test/multivariate_test.jl)."""
+
+import numpy as np
+import pytest
+
+import mendeliht_tpu as m
+
+
+@pytest.fixture(scope="module")
+def mv_sim():
+    rng = np.random.default_rng(77)   # own stream: independent of test order
+    x, _ = m.simulate_random_snparray(None, 500, 800, rng=rng)
+    Y, Sigma, true_b, cpos = m.simulate_random_multivariate_response(
+        x, 10, 2, overlap=2, rng=rng)
+    return x, Y, Sigma, true_b
+
+
+def test_mv_fit_recovery(mv_sim):
+    x, Y, Sigma, true_b = mv_sim
+    res = m.fit_iht(np.ascontiguousarray(Y.T), x, k=10, d=m.MvNormal(),
+                    verbose=False)
+    assert res.traits == 2
+    assert int((res.beta != 0).sum()) <= 10
+    found = set(zip(*np.nonzero(res.beta.T)))
+    big = set(zip(*np.nonzero(np.abs(true_b) > 0.5)))
+    assert len(big & found) >= len(big) - 1
+    # residual covariance should be near the simulation Sigma (genetic effects
+    # removed, so estimated ~= Sigma up to missed small effects)
+    assert res.Sigma.shape == (2, 2)
+    assert np.all(np.isfinite(res.Sigma))
+    assert np.sign(res.Sigma[0, 1]) == np.sign(Sigma[0, 1])
+
+
+def test_mv_exact_k(mv_sim):
+    x, Y, Sigma, true_b = mv_sim
+    res = m.fit_iht(np.ascontiguousarray(Y.T), x, k=6, d=m.MvNormal(),
+                    verbose=False)
+    assert int((res.beta != 0).sum()) <= 6
+
+
+def test_mv_dense_matches_packed(mv_sim):
+    """Exact-equivalence oracle between genotype backends."""
+    x, Y, Sigma, true_b = mv_sim
+    Yt = np.ascontiguousarray(Y.T)
+    Xd = x.to_dense_standardized(dtype=np.float32)
+    r1 = m.fit_iht(Yt, x, k=6, d=m.MvNormal(), verbose=False)
+    r2 = m.fit_iht(Yt, Xd, k=6, d=m.MvNormal(), verbose=False)
+    np.testing.assert_allclose(r1.beta, r2.beta, atol=2e-3)
+
+
+def test_mv_requires_k(mv_sim):
+    x, Y, *_ = mv_sim
+    with pytest.raises(ValueError):
+        m.fit_iht(np.ascontiguousarray(Y.T), x, k=0, d=m.MvNormal(),
+                  verbose=False)
+
+
+def test_mv_debias_unsupported(mv_sim):
+    x, Y, *_ = mv_sim
+    with pytest.raises(ValueError):
+        m.fit_iht(np.ascontiguousarray(Y.T), x, k=5, d=m.MvNormal(),
+                  debias=True, verbose=False)
+
+
+def test_mv_cv(mv_sim):
+    x, Y, *_ = mv_sim
+    path = [2, 4, 6, 8, 10, 12, 16, 20]
+    mse = m.cv_iht(np.ascontiguousarray(Y.T), x, path=path, q=3,
+                   d=m.MvNormal(), verbose=False,
+                   rng=np.random.default_rng(4))
+    assert len(mse) == len(path) and np.all(mse > 0)
+    # U-shaped: interior minimum near the effective model size (the sim has
+    # 10 causal effects, ~3 of them tiny), clear overfitting penalty at k=20
+    best = int(np.argmin(mse))
+    assert 1 <= best <= 5
+    assert mse[-1] > mse[best]
+
+
+def test_mv_init_beta(mv_sim):
+    x, Y, *_ = mv_sim
+    res = m.fit_iht(np.ascontiguousarray(Y.T), x, k=8, d=m.MvNormal(),
+                    init_beta=True, verbose=False)
+    assert int((res.beta != 0).sum()) <= 8
+    assert np.isfinite(res.logl)
+
+
+def test_mv_zkeep(mv_sim, rng):
+    x, Y, *_ = mv_sim
+    n = 500
+    z = np.vstack([np.ones(n), rng.standard_normal(n)])
+    res = m.fit_iht(np.ascontiguousarray(Y.T), x, z, k=5, d=m.MvNormal(),
+                    zkeep=np.array([True, False]), verbose=False)
+    # kept intercept column present for both traits; total entries <= k + r*keep
+    assert np.all(res.c[:, 0] != 0)
+    assert int((res.beta != 0).sum() + (res.c[:, 1] != 0).sum()) <= 5

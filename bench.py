@@ -1,0 +1,141 @@
+"""Headline benchmark: Gaussian IHT fit, n=10,000 x p=1,000,000, k=10.
+
+Reference baseline: 256 s on an Intel Xeon E5-2670 exclusive node
+(BASELINE.md row 3; figures/benchmark/normal_results_nodebias/
+10000_by_1000000_run1:2, 4 iterations).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": ratio}
+vs_baseline = our_seconds / 256 (< 1 means faster than the reference).
+
+The genotype matrix (2.5 GB packed) is simulated once and cached in
+.bench_cache/ (gitignored). Timing is the warm (second) fit — the reference's
+numbers are likewise post-JIT Julia timings.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SECONDS = 256.0
+N, P, K = 10_000, 1_000_000, 10
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _gen_problem(rng):
+    """Simulate packed genotypes directly in the TPU layout + stats + y."""
+    from mendeliht_tpu.genotype.snparray import _ceil_to, _LANE
+
+    n4 = _ceil_to(-(-N // 4), _LANE)
+    packed = rng.integers(0, 256, size=(P, n4), dtype=np.uint8)
+    # zero out padding crumbs (samples >= N) so stats are exact:
+    # plane s covers samples [s*n4*? ...]; sample s*n4+b < N required
+    for s in range(4):
+        lo = s * n4
+        first_bad = max(0, min(n4, N - lo))
+        if first_bad < n4:
+            mask = np.uint8(0xFF ^ (0x3 << (2 * s)))
+            packed[:, first_bad:] &= mask
+
+    # per-SNP stats by chunked decode
+    n_het = np.zeros(P, np.int64)
+    n_alt = np.zeros(P, np.int64)
+    n_mis = np.zeros(P, np.int64)
+    chunk = 8192
+    for lo in range(0, P, chunk):
+        hi = min(lo + chunk, P)
+        blk = packed[lo:hi]
+        for s in range(4):
+            c = (blk >> (2 * s)) & 0x3
+            n_het[lo:hi] += (c == 2).sum(axis=1)
+            n_alt[lo:hi] += (c == 3).sum(axis=1)
+            n_mis[lo:hi] += (c == 1).sum(axis=1)
+    n_obs = N - n_mis
+    mu = np.where(n_obs > 0, (n_het + 2.0 * n_alt) / np.maximum(n_obs, 1), 0.0)
+    sd = np.sqrt(np.maximum(mu * (1.0 - mu / 2.0), 0.0))
+    inv_sd = np.where(sd > 0, 1.0 / np.where(sd > 0, sd, 1.0), 0.0)
+
+    causal = rng.choice(P, size=K, replace=False)
+    beta = rng.standard_normal(K)
+    return packed, mu, inv_sd, bool(n_mis.sum() > 0), causal, beta
+
+
+def load_problem():
+    import jax.numpy as jnp
+    from mendeliht_tpu.genotype.snparray import PackedGenotypes
+
+    os.makedirs(CACHE, exist_ok=True)
+    f = os.path.join(CACHE, f"gauss_{N}x{P}.npz")
+    if os.path.isfile(f):
+        log("loading cached benchmark problem...")
+        d = np.load(f)
+        packed, mu, inv_sd = d["packed"], d["mu"], d["inv_sd"]
+        causal, beta, y = d["causal"], d["beta"], d["y"]
+        has_missing = bool(d["has_missing"])
+    else:
+        log("simulating benchmark problem (one-time)...")
+        rng = np.random.default_rng(2026)
+        packed, mu, inv_sd, has_missing, causal, beta = _gen_problem(rng)
+        g = PackedGenotypes(
+            packed=jnp.asarray(packed), mu=jnp.asarray(mu, jnp.float32),
+            inv_sd=jnp.asarray(inv_sd, jnp.float32), n=N, p=P,
+            has_missing=has_missing)
+        from mendeliht_tpu.ops.linalg import make_operator
+        op = make_operator(g)
+        idx = jnp.asarray(causal[None, :])
+        coef = jnp.asarray(beta[None, :], jnp.float32)
+        xb = np.asarray(op.forward_sel(idx, coef, jnp.ones_like(coef)))[0][:N]
+        y = xb + 1.0 + np.random.default_rng(7).standard_normal(N)
+        np.savez(f, packed=packed, mu=mu, inv_sd=inv_sd, causal=causal,
+                 beta=beta, y=y, has_missing=has_missing)
+        del op, g
+    g = PackedGenotypes(
+        packed=jnp.asarray(packed), mu=jnp.asarray(mu, jnp.float32),
+        inv_sd=jnp.asarray(inv_sd, jnp.float32), n=N, p=P,
+        has_missing=has_missing)
+    return g, y, causal, beta
+
+
+def main():
+    import jax
+    cache_dir = os.path.join(CACHE, "xla")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    log("backend:", jax.default_backend(), jax.devices())
+
+    import mendeliht_tpu as m
+    g, y, causal, beta = load_problem()
+    log(g)
+
+    def run():
+        t0 = time.time()
+        res = m.fit_iht(y, g, k=K, d=m.Normal(), verbose=False)
+        return time.time() - t0, res
+
+    t_cold, res = run()
+    log(f"cold fit: {t_cold:.2f}s iters={res.iter} logl={res.logl:.1f}")
+    t_warm, res = run()
+    log(f"warm fit: {t_warm:.2f}s iters={res.iter} logl={res.logl:.1f}")
+    found = set(np.flatnonzero(res.beta))
+    big = set(causal[np.abs(beta) > 0.3])
+    log(f"recovered {len(found & set(causal))}/{K} causal "
+        f"({len(found & big)}/{len(big)} large-effect)")
+
+    print(json.dumps({
+        "metric": "gaussian_iht_fit_n10k_p1M_wall_seconds",
+        "value": round(t_warm, 3),
+        "unit": "s",
+        "vs_baseline": round(t_warm / BASELINE_SECONDS, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,13 @@ def _use_pallas() -> bool:
         return True
     if _KERNEL_BACKEND == "xla":
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        from . import pallas_kernels  # noqa: F401
+        return True
+    except ImportError:
+        return False
 
 
 @jax.tree_util.register_pytree_node_class

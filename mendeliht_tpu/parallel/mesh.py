@@ -1,0 +1,111 @@
+"""Device-mesh construction and sharding specs.
+
+Parallelism design (SURVEY.md §2.15-2.16 maps the reference's concurrency to
+TPU axes):
+
+  * ``task`` axis — data parallelism over cross-validation (fold, k)
+    combinations (the reference's `Threads.@threads :static` pool,
+    src/cross_validation.jl:100); embarrassingly parallel, no communication
+    except the final loss gather.
+  * ``snp`` axis — model parallelism over the SNP dimension (the reference's
+    thread-sharded column loops, src/utilities.jl:96-106).  The packed
+    genotype matrix, b/df/best_b vectors shard along p; the score X'r is
+    communication-free (each shard owns its rows); the k-sparse forward
+    product and the global top-k projection need cross-shard collectives
+    which XLA inserts from the sharding annotations.
+
+Per-sample arrays (y, mu, xb, cv_wts) are replicated across ``snp`` and
+sharded across ``task``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_task: int | None = None, n_snp: int | None = None,
+              devices=None) -> Mesh:
+    """Build a (task, snp) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    nd = len(devices)
+    if n_task is None and n_snp is None:
+        n_snp = 1
+        n_task = nd
+    elif n_task is None:
+        n_task = nd // n_snp
+    elif n_snp is None:
+        n_snp = nd // n_task
+    if n_task * n_snp > nd:
+        raise ValueError(f"mesh {n_task}x{n_snp} > {nd} devices")
+    dev_array = np.asarray(devices[:n_task * n_snp]).reshape(n_task, n_snp)
+    return Mesh(dev_array, axis_names=("task", "snp"))
+
+
+def geno_sharding(mesh: Mesh):
+    """PackedGenotypes sharding: packed rows (SNPs) across 'snp', stats too."""
+    return dict(
+        packed=NamedSharding(mesh, P("snp", None)),
+        mu=NamedSharding(mesh, P("snp")),
+        inv_sd=NamedSharding(mesh, P("snp")),
+    )
+
+
+def state_sharding(mesh: Mesh):
+    """IHTState shardings: (B, p) arrays over (task, snp); (B, n) and (B,)
+    arrays over (task,); scalars replicated."""
+    bp = NamedSharding(mesh, P("task", "snp"))
+    bn = NamedSharding(mesh, P("task", None))
+    b_ = NamedSharding(mesh, P("task"))
+    rep = NamedSharding(mesh, P())
+    return dict(
+        b=bp, b0=bp, best_b=bp, df=bp,
+        c=bn, c0=bn, best_c=bn, df2=bn,
+        sel_idx=bn, sel_valid=bn, idc=bn,
+        xb=bn, zc=bn, mu=bn, cv_wts=bn,
+        nb_r=b_, logl=b_, best_logl=b_, k=b_, active=b_, failed=b_,
+        iters=b_, eta=b_, backtracks=b_,
+        iteration=rep,
+    )
+
+
+def shard_state(st, mesh: Mesh):
+    """Apply the canonical shardings to an IHTState."""
+    import dataclasses
+    sh = state_sharding(mesh)
+    updates = {}
+    for f in dataclasses.fields(st):
+        if f.name in sh:
+            updates[f.name] = jax.device_put(getattr(st, f.name), sh[f.name])
+    return dataclasses.replace(st, **updates)
+
+
+def shard_geno_op(op, mesh: Mesh):
+    """Shard a PackedOp's genotype arrays across the 'snp' axis."""
+    import dataclasses
+    from ..ops.linalg import PackedOp
+    if not isinstance(op, PackedOp):
+        return op
+    sh = geno_sharding(mesh)
+    g = op.geno
+    g2 = dataclasses.replace(
+        g,
+        packed=jax.device_put(g.packed, sh["packed"]),
+        mu=jax.device_put(g.mu, sh["mu"]),
+        inv_sd=jax.device_put(g.inv_sd, sh["inv_sd"]))
+    return PackedOp(g2)
+
+
+def shard_data(data, mesh: Mesh):
+    """FitData is replicated (y, z, masks are small per-sample arrays)."""
+    import dataclasses
+    rep = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        data,
+        y=jax.device_put(data.y, rep), z=jax.device_put(data.z, rep),
+        zkeep=jax.device_put(data.zkeep, rep),
+        weight=jax.device_put(data.weight, rep),
+        group=jax.device_put(data.group, rep),
+        group_ks=jax.device_put(data.group_ks, rep),
+        sample_mask=jax.device_put(data.sample_mask, rep))

@@ -104,15 +104,18 @@ def write_plink_bed(path: str, codes: np.ndarray) -> None:
     src/simulate_utilities.jl:85-101).
     """
     n, p = codes.shape
-    bpr = -(-n // 4)
-    pad = 4 * bpr - n
-    c = codes.T.astype(np.uint8)                       # (p, n) SNP-major
-    if pad:
-        c = np.concatenate([c, np.zeros((p, pad), dtype=np.uint8)], axis=1)
-    c = c.reshape(p, bpr, 4)
-    shifts = np.arange(4, dtype=np.uint8) * 2
-    rows = (c << shifts[None, None, :]).astype(np.uint8)
-    payload = np.bitwise_or.reduce(rows, axis=2).reshape(-1)
+    from .. import native
+    payload = native.pack_codes_bed(codes)
+    if payload is None:
+        bpr = -(-n // 4)
+        pad = 4 * bpr - n
+        c = codes.T.astype(np.uint8)                   # (p, n) SNP-major
+        if pad:
+            c = np.concatenate([c, np.zeros((p, pad), dtype=np.uint8)], axis=1)
+        c = c.reshape(p, bpr, 4)
+        shifts = np.arange(4, dtype=np.uint8) * 2
+        rows = (c << shifts[None, None, :]).astype(np.uint8)
+        payload = np.bitwise_or.reduce(rows, axis=2).reshape(-1)
     with open(path, "wb") as f:
         f.write(_BED_MAGIC)
         f.write(payload.tobytes())

@@ -177,27 +177,35 @@ class PackedGenotypes:
         """Build from raw PLINK `.bed` SNP-major payload (no 3-byte header).
 
         `.bed` packs sample ``i`` of SNP ``j`` in crumb ``i % 4`` of byte
-        ``j * ceil(n/4) + i // 4``; we repack chunk-wise into the
-        crumb-transposed layout and gather per-SNP stats in the same pass.
+        ``j * ceil(n/4) + i // 4``; we repack into the crumb-transposed layout
+        and gather per-SNP stats in the same pass (multithreaded C++ when
+        available, chunked numpy otherwise).
         """
         bpr = -(-n // 4)  # bytes per SNP row in .bed
         bed = bed.reshape(p, bpr)
         n4 = _ceil_to(bpr, _LANE)
-        packed = np.zeros((p, n4), dtype=np.uint8)
-        n_het = np.zeros(p, dtype=np.int64)
-        n_alt = np.zeros(p, dtype=np.int64)
-        n_mis = np.zeros(p, dtype=np.int64)
-        shifts = np.arange(4, dtype=np.uint8) * 2
-        for lo in range(0, p, _CHUNK_P):
-            hi = min(lo + _CHUNK_P, p)
-            chunk = bed[lo:hi]                                   # (c, bpr)
-            # unpack: codes (c, bpr, 4) -> (c, 4*bpr) sample order
-            crumbs = (chunk[:, :, None] >> shifts[None, None, :]) & 0x3
-            codes = crumbs.reshape(hi - lo, 4 * bpr)[:, :n]
-            n_het[lo:hi] = (codes == 2).sum(axis=1)
-            n_alt[lo:hi] = (codes == 3).sum(axis=1)
-            n_mis[lo:hi] = (codes == 1).sum(axis=1)
-            packed[lo:hi] = pack_codes(codes, n4=n4)
+
+        from .. import native
+        res = native.repack_bed(bed, n, p, n4)
+        if res is not None:
+            packed, counts = res
+            n_het, n_alt, n_mis = counts[:, 0], counts[:, 1], counts[:, 2]
+        else:
+            packed = np.zeros((p, n4), dtype=np.uint8)
+            n_het = np.zeros(p, dtype=np.int64)
+            n_alt = np.zeros(p, dtype=np.int64)
+            n_mis = np.zeros(p, dtype=np.int64)
+            shifts = np.arange(4, dtype=np.uint8) * 2
+            for lo in range(0, p, _CHUNK_P):
+                hi = min(lo + _CHUNK_P, p)
+                chunk = bed[lo:hi]                               # (c, bpr)
+                # unpack: codes (c, bpr, 4) -> (c, 4*bpr) sample order
+                crumbs = (chunk[:, :, None] >> shifts[None, None, :]) & 0x3
+                codes = crumbs.reshape(hi - lo, 4 * bpr)[:, :n]
+                n_het[lo:hi] = (codes == 2).sum(axis=1)
+                n_alt[lo:hi] = (codes == 3).sum(axis=1)
+                n_mis[lo:hi] = (codes == 1).sum(axis=1)
+                packed[lo:hi] = pack_codes(codes, n4=n4)
         mu, inv_sd, maf_ = _stats_from_counts(n - n_mis, n_het, n_alt)
         np_dtype = np.dtype(dtype)
         return cls(
@@ -222,6 +230,25 @@ class PackedGenotypes:
         inv = np.asarray(self.inv_sd, dtype=np.float64)[None, :]
         vals = np.where(np.isnan(vals), mu, vals)
         return ((vals - mu) * np.where(inv == 0, 1.0, inv)).astype(dtype)
+
+
+def naive_impute(x: PackedGenotypes, destination: str | None = None):
+    """Impute missing genotypes with the per-SNP mode (reference
+    src/utilities.jl:862-899). Returns a new PackedGenotypes; if
+    `destination` is given, also writes a PLINK .bed."""
+    codes = x.to_codes()                                  # (n, p)
+    n0 = (codes == 0).sum(axis=0)
+    n1 = (codes == 2).sum(axis=0)
+    n2 = (codes == 3).sum(axis=0)
+    # mode code, ties resolved like the reference (later genotype wins ties
+    # via its if/elseif chain: most_often==entry1 checked before entry2)
+    most = np.maximum(np.maximum(n0, n1), n2)
+    fill = np.where(most == n1, 2, np.where(most == n2, 3, 0)).astype(np.uint8)
+    out = np.where(codes == 1, fill[None, :], codes).astype(np.uint8)
+    if destination:
+        from .plink import write_plink_bed
+        write_plink_bed(destination, out)
+    return PackedGenotypes.from_codes(out)
 
 
 def maf(x: PackedGenotypes) -> np.ndarray:

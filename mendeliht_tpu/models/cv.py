@@ -13,6 +13,7 @@ import time as _time
 import sys
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import glm
@@ -44,7 +45,8 @@ def meanloss(fitloss, q, folds):
 def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
            group=None, weight=None, zkeep=None, folds=None, debias=False,
            verbose=True, max_iter=100, min_iter=5, init_beta=False,
-           memory_efficient=True, dtype=jnp.float32, rng=None):
+           memory_efficient=True, dtype=jnp.float32, rng=None,
+           checkpoint_dir=None, checkpoint_every=20):
     """q-fold cross validation over a path of sparsity levels; returns the
     vector of fold-size-weighted holdout deviances per k (reference
     src/cross_validation.jl:60-131)."""
@@ -81,11 +83,15 @@ def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
         test[i, :n] = folds == fold
 
     t0 = _time.time()
-    st = init_state(op, data, cfg, ks, jnp.asarray(train, op.dtype),
-                    init_beta=init_beta)
-    st = run_iht(op, data, cfg, st)
-    mses = np.asarray(predict_deviance(op, data, cfg, st,
-                                       jnp.asarray(test, op.dtype)))
+    if checkpoint_dir is None:
+        st = init_state(op, data, cfg, ks, jnp.asarray(train, op.dtype),
+                        init_beta=init_beta)
+        st = run_iht(op, data, cfg, st)
+        mses = np.asarray(predict_deviance(op, data, cfg, st,
+                                           jnp.asarray(test, op.dtype)))
+    else:
+        mses = _cv_checkpointed(op, data, cfg, ks, train, test, init_beta,
+                                checkpoint_dir, checkpoint_every, verbose)
     elapsed = _time.time() - t0
 
     mse = meanloss(mses, q, folds)
@@ -94,6 +100,35 @@ def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
         print_cv_results(sys.stdout, mse, path, best_k)
         print(f"Cross validation took {elapsed:.3f} seconds")
     return mse
+
+
+def _cv_checkpointed(op, data, cfg, ks, train, test, init_beta,
+                     checkpoint_dir, checkpoint_every, verbose):
+    """Segmented solve with orbax checkpoints every `checkpoint_every`
+    iterations; resumes from the latest checkpoint if one exists."""
+    from .initialize import init_state
+    from .univariate import run_segment, finalize_iht, predict_deviance
+    from ..utils.checkpoint import save_state, restore_state
+
+    st = init_state(op, data, cfg, ks, jnp.asarray(train, op.dtype),
+                    init_beta=init_beta)
+    restored = restore_state(checkpoint_dir, st)
+    if restored is not None:
+        st, step = restored
+        if verbose:
+            print(f"resuming cross validation from checkpoint step {step}")
+    while bool(jnp.any(st.active)) and int(st.iteration) < cfg.max_iter - 1:
+        stop = min(int(st.iteration) + checkpoint_every, cfg.max_iter - 1)
+        st = run_segment(op, data, cfg, st, stop)
+        jax.block_until_ready(st.b)
+        save_state(checkpoint_dir, st, int(st.iteration))
+        if verbose:
+            n_active = int(jnp.sum(st.active))
+            print(f"checkpoint at iteration {int(st.iteration)}; "
+                  f"{n_active} tasks still active")
+    st = finalize_iht(op, data, cfg, st)
+    return np.asarray(predict_deviance(op, data, cfg, st,
+                                       jnp.asarray(test, op.dtype)))
 
 
 def iht_run_many_models(y, x, z=None, d=None, l=None, path=None, est_r="none",

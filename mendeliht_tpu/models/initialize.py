@@ -7,6 +7,8 @@ cross-validation sample mask, but share the phenotype / design data.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +64,7 @@ def _initialize_beta(op, data: FitData, cv_wts):
     return b, c
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "init_beta"))
 def init_state(op, data: FitData, cfg: FitConfig, k, cv_wts,
                init_beta: bool = False) -> IHTState:
     """Build the initial IHTState for a batch of tasks.

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import glm
+from ..ops.projections import fast_top_k
 from .state import FitConfig, _register
 from .results import MIHTResult, print_cv_results
 from .pve import masked_var
@@ -110,7 +111,7 @@ def _project_joint_mv(Bm, Cm, k_plus_keep, zkeep, S_entries: int):
     pin_c = jnp.repeat(zkeep, r)                        # (q*r,)
     pin = jnp.concatenate([jnp.zeros(p * r, bool), pin_c])
     mag = jnp.where(pin[None, :], jnp.inf, jnp.abs(full))
-    _, topi = jax.lax.top_k(mag, S_entries)
+    _, topi = fast_top_k(mag, S_entries)
     vals = jnp.take_along_axis(full, topi, axis=1)
     keep = jnp.arange(S_entries)[None, :] < k_plus_keep[:, None]
     new_full = jnp.zeros_like(full)
@@ -124,7 +125,7 @@ def _project_joint_mv(Bm, Cm, k_plus_keep, zkeep, S_entries: int):
 def _column_support(Bm, S: int):
     """Top-S SNP columns by max |B| over traits; valid = any nonzero."""
     colmag = jnp.max(jnp.abs(Bm), axis=1)               # (T, p)
-    _, sel_idx = jax.lax.top_k(colmag, S)
+    _, sel_idx = fast_top_k(colmag, S)
     vals = jnp.take_along_axis(colmag, sel_idx, axis=1)
     return sel_idx, vals != 0
 
@@ -238,16 +239,20 @@ def _iteration_mv(op, data: MvData, cfg: MvConfig, st: MIHTState) -> MIHTState:
     cur = take_step(eta)
     n_bt = jnp.zeros_like(eta, dtype=jnp.int32)
 
-    def bt_body(_, carry):
+    def _bt_need(carry):
         cur, eta, n_bt = carry
-        need = act & (old_logl > cur["logl"]) & (n_bt < cfg.max_step)
+        return act & (old_logl > cur["logl"]) & (n_bt < cfg.max_step)
+
+    def bt_body(carry):
+        cur, eta, n_bt = carry
+        need = _bt_need(carry)
         eta2 = jnp.where(need, eta / 2, eta)
         nxt = take_step(eta2)
         merged = {kk: _where_t(need, nxt[kk], cur[kk]) for kk in cur}
         return merged, eta2, n_bt + need.astype(jnp.int32)
 
-    cur, eta, n_bt = jax.lax.fori_loop(0, cfg.max_step, bt_body,
-                                       (cur, eta, n_bt))
+    cur, eta, n_bt = jax.lax.while_loop(
+        lambda c: jnp.any(_bt_need(c)), bt_body, (cur, eta, n_bt))
 
     new = dataclasses.replace(
         st,
@@ -354,6 +359,7 @@ def _initialize_beta_mv(op, data: MvData, cv_wts):
     return jnp.stack(Bs, axis=1), jnp.stack(Cs, axis=1)   # (T,r,p), (T,r,q)
 
 
+@partial(jax.jit, static_argnames=("cfg", "init_beta"))
 def init_mv_state(op, data: MvData, cfg: MvConfig, k, cv_wts,
                   init_beta: bool = False) -> MIHTState:
     dtype = op.dtype

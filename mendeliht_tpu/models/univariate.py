@@ -159,16 +159,21 @@ def _iteration(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
     cur = take_step(eta)
     n_bt = jnp.zeros_like(eta, dtype=jnp.int32)
 
-    def bt_body(_, carry):
+    def _bt_need(carry):
         cur, eta, n_bt = carry
-        need = act & (old_logl > cur["logl"]) & (n_bt < cfg.max_step)
+        return act & (old_logl > cur["logl"]) & (n_bt < cfg.max_step)
+
+    def bt_body(carry):
+        cur, eta, n_bt = carry
+        need = _bt_need(carry)
         eta2 = jnp.where(need, eta / 2, eta)
         nxt = take_step(eta2)
         merged = {k: _where_b(need, nxt[k], cur[k]) for k in cur}
         return merged, eta2, n_bt + need.astype(jnp.int32)
 
-    cur, eta, n_bt = jax.lax.fori_loop(0, cfg.max_step, bt_body,
-                                       (cur, eta, n_bt))
+    # early-exit: most iterations need no backtracking at all
+    cur, eta, n_bt = jax.lax.while_loop(
+        lambda c: jnp.any(_bt_need(c)), bt_body, (cur, eta, n_bt))
 
     new = dataclasses.replace(
         st,
@@ -222,14 +227,21 @@ def _iteration(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg",))
-def run_iht(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
+def run_segment(op, data: FitData, cfg: FitConfig, st: IHTState,
+                stop) -> IHTState:
+    """Advance the solver until all tasks converge, `stop` iterations are
+    reached, or max_iter - 1 steps have run. Resumable: feeding the returned
+    state back in continues exactly where it left off (checkpointing)."""
+    limit = jnp.minimum(jnp.asarray(stop, jnp.int32), cfg.max_iter - 1)
+
     def cond(s):
-        return jnp.any(s.active) & (s.iteration < cfg.max_iter - 1)
+        return jnp.any(s.active) & (s.iteration < limit)
 
-    def body(s):
-        return _iteration(op, data, cfg, s)
+    return jax.lax.while_loop(cond, lambda s: _iteration(op, data, cfg, s), st)
 
-    st = jax.lax.while_loop(cond, body, st)
+
+@partial(jax.jit, static_argnames=("cfg",))
+def finalize_iht(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
     # tasks that never converged report max_iter (reference fit.jl:169-179)
     iters = jnp.where(st.active, cfg.max_iter, st.iters)
     # final save_prev: count the last iterate's loglikelihood
@@ -248,6 +260,12 @@ def run_iht(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
     return dataclasses.replace(st, b=st.best_b, c=st.best_c,
                                sel_idx=sel_idx, sel_valid=sel_valid,
                                idc=st.best_c != 0, xb=xb, zc=zc, mu=mu)
+
+
+def run_iht(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
+    """Full solve: loop to completion then restore the best model."""
+    st = run_segment(op, data, cfg, st, cfg.max_iter - 1)
+    return finalize_iht(op, data, cfg, st)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

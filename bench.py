@@ -35,8 +35,15 @@ def _gen_problem(rng):
 
     n4 = _ceil_to(-(-N // 4), _LANE)
     packed = rng.integers(0, 256, size=(P, n4), dtype=np.uint8)
+    # no-missing data, like the reference's benchmark simulations
+    # (simulate_random_snparray generates none): remap code 01 -> 00
+    for s in range(4):
+        lo_bit = (packed >> (2 * s)) & 1
+        hi_bit = (packed >> (2 * s + 1)) & 1
+        miss = lo_bit & (1 - hi_bit)
+        packed ^= (miss << (2 * s)).astype(np.uint8)
     # zero out padding crumbs (samples >= N) so stats are exact:
-    # plane s covers samples [s*n4*? ...]; sample s*n4+b < N required
+    # plane s covers samples s*n4 + b; require s*n4 + b < N
     for s in range(4):
         lo = s * n4
         first_bad = max(0, min(n4, N - lo))
@@ -72,7 +79,7 @@ def load_problem():
     from mendeliht_tpu.genotype.snparray import PackedGenotypes
 
     os.makedirs(CACHE, exist_ok=True)
-    f = os.path.join(CACHE, f"gauss_{N}x{P}.npz")
+    f = os.path.join(CACHE, f"gauss_nm_{N}x{P}.npz")
     if os.path.isfile(f):
         log("loading cached benchmark problem...")
         d = np.load(f)

@@ -179,6 +179,13 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
     if init_beta and cfg.dist != "normal":
         raise ValueError("Initializing beta values only works for Gaussian "
                          "phenotypes! Sorry!")
+    if verbose:
+        import dataclasses as _dc
+        from ..utils.printing import print_iht_signature, print_parameters
+        print_iht_signature(io)
+        print_parameters(io, k, cfg.dist, cfg.link, use_maf, group, debias,
+                         tol, max_iter, min_iter)
+        cfg = _dc.replace(cfg, log_iters=True)
 
     t0 = _time.time()
     ks = jnp.asarray([0 if cfg.group_k_is_vector else k_scalar], jnp.int32)

@@ -74,6 +74,7 @@ class FitConfig:
     group_k_is_vector: bool = False
     has_weight: bool = False
     dtype: str = "float32"
+    log_iters: bool = False     # jax.debug.print per-iteration progress
 
 
 @dataclasses.dataclass(frozen=True)

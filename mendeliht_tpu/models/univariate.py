@@ -218,6 +218,13 @@ def _iteration(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
     iters = jnp.where(done, it, new.iters)
     active = act & ~done
 
+    if cfg.log_iters:
+        # per-iteration progress line (reference fit.jl:194-196)
+        jax.debug.print(
+            "Iteration {it}: loglikelihood = {logl}, backtracks = {bt}, "
+            "tol = {tol}", it=it, logl=new.logl[0], bt=new.backtracks[0],
+            tol=scaled[0])
+
     return dataclasses.replace(new, active=active, failed=failed, iters=iters,
                                iteration=it)
 

@@ -1,0 +1,120 @@
+"""Profiling / observability subsystem (SURVEY.md §5: absent in the reference,
+first-class here).
+
+- :func:`trace` — context manager around jax.profiler for on-device traces
+  viewable in TensorBoard/Perfetto.
+- :func:`kernel_roofline` — measure the fused decode-matmul pass and report
+  achieved packed-bytes bandwidth vs the chip's HBM roofline.
+- :func:`fit_report` — per-phase wall-clock breakdown of a fit.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# rough HBM bandwidths by chip generation (bytes/s)
+_HBM_GBPS = {
+    "TPU v4": 1200e9,
+    "TPU v5 lite": 820e9,
+    "TPU v5": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "cpu": 50e9,
+}
+
+
+def device_hbm_bandwidth() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in _HBM_GBPS.items():
+        if kind.lower().startswith(k.lower()):
+            return v
+    return 820e9
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/mendeliht_trace"):
+    """jax.profiler trace context: `with profiling.trace('/tmp/tr'): ...`"""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def kernel_roofline(geno, m: int = 1, iters: int = 10, want_missing=None):
+    """Achieved bandwidth of the X'R pass on `geno` (PackedGenotypes).
+
+    Returns dict with ms/pass, effective GB/s over packed bytes, and the
+    fraction of the HBM roofline. Uses a data-dependent in-jit loop so results
+    are not distorted by dispatch overhead or execution caching."""
+    from ..ops.linalg import PackedOp, _use_pallas
+    from ..ops import decode
+
+    if want_missing is None:
+        want_missing = geno.has_missing
+    packed = geno.packed
+    n_pad = geno.n_pad
+
+    if _use_pallas():
+        from ..ops import pallas_kernels as pk
+        kernel = pk.xt_dots
+    else:
+        kernel = decode.xt_dots
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("wm", "iters"))
+    def loop(packed, rhs0, wm, iters):
+        def body(r, _):
+            A, M, _ = kernel(packed, r, want_missing=wm)
+            r2 = r * (1.0 + A[1, 0] * 1e-12) + A[0, 0] * 1e-6
+            return r2, jnp.sum(A)
+        _, outs = jax.lax.scan(body, rhs0, None, length=iters)
+        return outs
+
+    rhs0 = jnp.ones((n_pad, m), jnp.float32)
+    jax.block_until_ready(loop(packed, rhs0, want_missing, iters))   # compile
+    t0 = time.time()
+    jax.block_until_ready(loop(packed, rhs0, want_missing, iters))
+    dt = (time.time() - t0) / iters
+    bw = packed.nbytes / dt
+    roof = device_hbm_bandwidth()
+    return {
+        "ms_per_pass": dt * 1e3,
+        "packed_gbytes_per_s": bw / 1e9,
+        "hbm_roofline_fraction": bw / roof,
+        "rhs_columns": m,
+        "want_missing": want_missing,
+        "backend": "pallas" if _use_pallas() else "xla",
+    }
+
+
+def fit_report(y, x, z=None, **kwargs):
+    """Run fit_iht with a phase-level wall-clock breakdown."""
+    from ..models.fit import build_fit
+    from ..models.initialize import init_state
+    from ..models.univariate import run_segment, finalize_iht
+
+    t = {}
+    t0 = time.time()
+    op, data, cfg, k_scalar = build_fit(y, x, z, **kwargs)
+    t["build"] = time.time() - t0
+
+    ks = jnp.asarray([k_scalar], jnp.int32)
+    cv = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
+    t0 = time.time()
+    st = jax.block_until_ready(init_state(op, data, cfg, ks, cv))
+    t["init"] = time.time() - t0
+    t0 = time.time()
+    st = jax.block_until_ready(run_segment(op, data, cfg, st, cfg.max_iter - 1))
+    t["solve"] = time.time() - t0
+    t0 = time.time()
+    st = jax.block_until_ready(finalize_iht(op, data, cfg, st))
+    t["finalize"] = time.time() - t0
+    t["iterations"] = int(st.iteration)
+    t["ms_per_iteration"] = (t["solve"] / max(int(st.iteration), 1)) * 1e3
+    return t, st

@@ -33,6 +33,11 @@ from .ops.glm import (
 from .genotype import (
     PackedGenotypes, SnpData, read_plink, write_plink_bed, maf, grm,
 )
+from .genotype.snparray import naive_impute
+from .compat import (
+    loglikelihood, deviance, score, mle_for_r, initialize_beta,
+    cv_iht_distribute_fold,
+)
 from .models.fit import fit_iht
 from .models.cv import cv_iht, iht_run_many_models, allocate_fold_and_k
 from .models.results import IHTResult, MIHTResult
@@ -63,4 +68,6 @@ __all__ = [
     "random_covariance_matrix", "make_bim_fam_files", "adhoc_add_correlation",
     "maf_weights", "pve", "project_k", "project_group_sparse", "standardize",
     "parse_genotypes", "parse_phenotypes", "parse_covariates",
+    "naive_impute", "loglikelihood", "deviance", "score", "mle_for_r",
+    "initialize_beta", "cv_iht_distribute_fold",
 ]

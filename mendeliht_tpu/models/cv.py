@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..ops import glm
 from .fit import build_fit, is_multivariate, cfg_est_r_requested
 from .initialize import init_state
-from .univariate import run_iht, predict_deviance
+from .univariate import run_iht, predict_deviance, cv_fused
 from .results import print_cv_results, print_a_bunch_of_path_results
 
 
@@ -84,11 +84,10 @@ def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
 
     t0 = _time.time()
     if checkpoint_dir is None:
-        st = init_state(op, data, cfg, ks, jnp.asarray(train, op.dtype),
-                        init_beta=init_beta)
-        st = run_iht(op, data, cfg, st)
-        mses = np.asarray(predict_deviance(op, data, cfg, st,
-                                           jnp.asarray(test, op.dtype)))
+        mses = np.asarray(cv_fused(op, data, cfg, ks,
+                                   jnp.asarray(train, op.dtype),
+                                   jnp.asarray(test, op.dtype),
+                                   init_beta=init_beta))
     else:
         mses = _cv_checkpointed(op, data, cfg, ks, train, test, init_beta,
                                 checkpoint_dir, checkpoint_every, verbose)

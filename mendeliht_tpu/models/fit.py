@@ -6,6 +6,7 @@ from __future__ import annotations
 import time as _time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import glm
@@ -13,7 +14,7 @@ from ..ops.linalg import make_operator, PackedOp
 from ..genotype.snparray import PackedGenotypes
 from .state import FitConfig, FitData
 from .initialize import init_state
-from .univariate import run_iht
+from .univariate import run_iht, fit_fused
 from .pve import pve as _pve, masked_var
 from .results import IHTResult
 
@@ -190,21 +191,21 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
     t0 = _time.time()
     ks = jnp.asarray([0 if cfg.group_k_is_vector else k_scalar], jnp.int32)
     cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
-    st = init_state(op, data, cfg, ks, cv_wts, init_beta=init_beta)
-    st = run_iht(op, data, cfg, st)
-    st.b.block_until_ready()
+    st, sg = fit_fused(op, data, cfg, ks, cv_wts, init_beta=init_beta)
+    # single host round-trip for everything the result needs
+    b_h, c_h, logl_h, iters_h, failed_h, sg_h = jax.device_get(
+        (st.b[0], st.c[0], st.best_logl[0], st.iters[0], st.failed[0], sg[0]))
     tot_time = _time.time() - t0
 
-    if bool(st.failed[0]):
+    if bool(failed_h):
         raise FloatingPointError("Loglikelihood function is NaN/Inf, aborting...")
 
-    sigma_g = float(_pve(data.y, st.mu[0], data.sample_mask, data.n_true))
     result = IHTResult(
-        time=tot_time, logl=float(st.best_logl[0]), iter=int(st.iters[0]),
-        beta=np.asarray(st.b[0]), c=np.asarray(st.c[0]), J=J,
+        time=tot_time, logl=float(logl_h), iter=int(iters_h),
+        beta=np.asarray(b_h), c=np.asarray(c_h), J=J,
         k=(list(np.asarray(k)) if cfg.group_k_is_vector else int(k)),
         group=(np.asarray(group) if group is not None else np.array([], int)),
-        d=d, sigma_g=sigma_g)
+        d=d, sigma_g=float(sg_h))
     if verbose:
         print(result, file=io) if io is not None else print(result)
     return result

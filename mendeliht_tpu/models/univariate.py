@@ -275,6 +275,37 @@ def run_iht(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
     return finalize_iht(op, data, cfg, st)
 
 
+@partial(jax.jit, static_argnames=("cfg", "init_beta"))
+def fit_fused(op, data: FitData, cfg: FitConfig, ks, cv_wts,
+              init_beta: bool = False):
+    """init + solve + finalize + pve in ONE compiled program.
+
+    One host round-trip instead of ~10 — matters when the device link has
+    high latency (remote TPU tunnels) and for pipelining many fits."""
+    from .initialize import init_state
+    from .pve import pve as _pve
+
+    st = init_state(op, data, cfg, ks, cv_wts, init_beta=init_beta)
+    st = run_segment(op, data, cfg, st, cfg.max_iter - 1)
+    st = finalize_iht(op, data, cfg, st)
+    sigma_g = jax.vmap(lambda mu: _pve(data.y, mu, data.sample_mask,
+                                       data.n_true))(st.mu)
+    return st, sigma_g
+
+
+@partial(jax.jit, static_argnames=("cfg", "init_beta"))
+def cv_fused(op, data: FitData, cfg: FitConfig, ks, train_wts, test_wts,
+             init_beta: bool = False):
+    """init + solve + holdout deviance in ONE compiled program (the full
+    cross-validation grid as a batch; one host round-trip for the mses)."""
+    from .initialize import init_state
+
+    st = init_state(op, data, cfg, ks, train_wts, init_beta=init_beta)
+    st = run_segment(op, data, cfg, st, cfg.max_iter - 1)
+    st = finalize_iht(op, data, cfg, st)
+    return predict_deviance(op, data, cfg, st, test_wts)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def predict_deviance(op, data: FitData, cfg: FitConfig, st: IHTState,
                      test_wts: jnp.ndarray) -> jnp.ndarray:

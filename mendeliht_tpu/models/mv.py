@@ -309,6 +309,28 @@ def run_mv_iht(op, data: MvData, cfg: MvConfig, st: MIHTState) -> MIHTState:
                                idc=jnp.any(st.best_C != 0, axis=1))
 
 
+@partial(jax.jit, static_argnames=("cfg", "init_beta"))
+def fit_mv_fused(op, data: MvData, cfg: MvConfig, ks, cv_wts,
+                 init_beta: bool = False):
+    """init + solve + per-trait pve in ONE compiled program (single host
+    round-trip; see univariate.fit_fused)."""
+    st = init_mv_state(op, data, cfg, ks, cv_wts, init_beta=init_beta)
+    st = run_mv_iht(op, data, cfg, st)
+    Sigma = jnp.linalg.inv(st.Gamma)
+    vy = masked_var(data.Y, data.sample_mask[None, :], data.n_true)
+    vm = jax.vmap(lambda mu: masked_var(mu, data.sample_mask[None, :],
+                                        data.n_true))(st.mu)
+    return st, Sigma, vm / vy[None]
+
+
+@partial(jax.jit, static_argnames=("cfg", "init_beta"))
+def cv_mv_fused(op, data: MvData, cfg: MvConfig, ks, train_wts, test_wts,
+                init_beta: bool = False):
+    st = init_mv_state(op, data, cfg, ks, train_wts, init_beta=init_beta)
+    st = run_mv_iht(op, data, cfg, st)
+    return predict_mse_mv(op, data, cfg, st, test_wts)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def predict_mse_mv(op, data: MvData, cfg: MvConfig, st: MIHTState, test_wts):
     """sum_ij (Y - mu)^2 * wts_j (reference predict!,
@@ -497,24 +519,22 @@ def fit_mv_iht(y, x, z=None, k=10, d=None, l=None, verbose=True, tol=1e-4,
                               max_step=max_step, dtype=dtype)
     t0 = _time.time()
     cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
-    st = init_mv_state(op, data, cfg, jnp.asarray([int(k)]), cv_wts,
-                       init_beta=init_beta)
-    st = run_mv_iht(op, data, cfg, st)
-    jax.block_until_ready(st.B)
+    st, Sigma_b, pve_b = fit_mv_fused(op, data, cfg, jnp.asarray([int(k)]),
+                                      cv_wts, init_beta=init_beta)
+    # per-trait PVE (reference pve(v::mIHTVariable), src/pve.jl:36-38);
+    # single host round-trip for everything the result needs
+    B_h, C_h, logl_h, iters_h, failed_h, Sigma_h, sg_h = jax.device_get(
+        (st.B[0], st.C[0], st.best_logl[0], st.iters[0], st.failed[0],
+         Sigma_b[0], pve_b[0]))
     tot = _time.time() - t0
-    if bool(st.failed[0]):
+    if bool(failed_h):
         raise FloatingPointError("Loglikelihood function is NaN/Inf, aborting...")
 
     r = data.Y.shape[0]
-    Sigma = np.asarray(jnp.linalg.inv(st.Gamma[0]))
-    # per-trait PVE from full mu (reference pve(v::mIHTVariable), src/pve.jl:36-38)
-    vy = masked_var(data.Y, data.sample_mask[None, :], data.n_true)
-    vm = masked_var(st.mu[0], data.sample_mask[None, :], data.n_true)
-    sigma_g = np.asarray(vm / vy)
     result = MIHTResult(
-        time=tot, logl=float(st.best_logl[0]), iter=int(st.iters[0]),
-        beta=np.asarray(st.B[0]), c=np.asarray(st.C[0]), k=int(k), traits=r,
-        Sigma=Sigma, sigma_g=sigma_g)
+        time=tot, logl=float(logl_h), iter=int(iters_h),
+        beta=np.asarray(B_h), c=np.asarray(C_h), k=int(k), traits=r,
+        Sigma=np.asarray(Sigma_h), sigma_g=np.asarray(sg_h))
     if verbose:
         print(result, file=io) if io is not None else print(result)
     return result
@@ -545,11 +565,10 @@ def cv_mv_iht(y, x, z=None, path=None, q=5, folds=None, zkeep=None,
     for i, (fold, _) in enumerate(combos):
         train[i, :n] = folds != fold
         test[i, :n] = folds == fold
-    st = init_mv_state(op, data, cfg, ks, jnp.asarray(train, op.dtype),
-                       init_beta=init_beta)
-    st = run_mv_iht(op, data, cfg, st)
-    mses = np.asarray(predict_mse_mv(op, data, cfg, st,
-                                     jnp.asarray(test, op.dtype)))
+    mses = np.asarray(cv_mv_fused(op, data, cfg, ks,
+                                  jnp.asarray(train, op.dtype),
+                                  jnp.asarray(test, op.dtype),
+                                  init_beta=init_beta))
     mse = meanloss(mses, q, folds)
     best_k = path[int(np.argmin(mse))]
     if verbose:

@@ -131,6 +131,11 @@ def simulate_random_response(x, k: int, d=None, l=None, r=10, alpha=1,
         mu = np.exp(eta)
         beta_rate = 1.0 / mu
         y = rng.gamma(alpha, 1.0 / beta_rate)
+    elif dist == "inversegaussian":
+        # experimental trait (reference docs/src/index.md:26-34); Wald
+        # sampling with unit shape, mean = linkinv(eta)
+        mu = np.asarray(glm.linkinv(link, np.clip(eta, -20, 20)))
+        y = rng.wald(np.clip(mu, 1e-3, 1e6), 1.0)
     else:
         raise ValueError(f"cannot simulate distribution {dist}")
     return y.astype(np.float64), true_b, correct_position

@@ -1,0 +1,83 @@
+"""Device-mesh sharding: the sharded solver must produce exactly the same
+iterates as the single-device solver (reference analog: thread-sharded SpMV
+with per-thread accumulators reduces to the same math,
+src/utilities.jl:96-106; here XLA inserts the collectives from sharding
+annotations). Runs on the 8-virtual-CPU-device mesh set up in conftest."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mendeliht_tpu as m
+from mendeliht_tpu.models.fit import build_fit
+from mendeliht_tpu.models.initialize import init_state
+from mendeliht_tpu.models.univariate import run_iht, _iteration
+from mendeliht_tpu.parallel.mesh import (
+    make_mesh, shard_state, shard_geno_op, shard_data)
+
+
+@pytest.fixture(scope="module")
+def sharded_problem():
+    rng = np.random.default_rng(42)
+    n, p, k = 128, 512, 6           # p divisible by every snp-axis size
+    codes = rng.choice([0, 2, 3], size=(n, p), p=[0.4, 0.35, 0.25]).astype(np.uint8)
+    x = m.PackedGenotypes.from_codes(codes)
+    Xd = x.to_dense_standardized()
+    btrue = np.zeros(p)
+    btrue[rng.choice(p, k, replace=False)] = rng.standard_normal(k) * 2
+    y = Xd @ btrue + 0.1 * rng.standard_normal(n)
+    B = 4
+    op, data, cfg, k_scalar = build_fit(y, x, None, k=k, max_iter=30)
+    ks = jnp.full((B,), k, jnp.int32)
+    cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (B, op.n_pad))
+    st = init_state(op, data, cfg, ks, cv_wts)
+    return op, data, cfg, st
+
+
+# note: n_task must divide the B=4 task batch (4,2)/(2,4)/(1,8) are the
+# valid 8-device layouts here
+@pytest.mark.parametrize("n_task,n_snp", [(4, 2), (2, 4), (1, 8)])
+def test_sharded_iteration_matches(sharded_problem, n_task, n_snp):
+    op, data, cfg, st = sharded_problem
+    ref = _iteration(op, data, cfg, st)
+
+    mesh = make_mesh(n_task=n_task, n_snp=n_snp)
+    op_s = shard_geno_op(op, mesh)
+    data_s = shard_data(data, mesh)
+    st_s = shard_state(st, mesh)
+    with mesh:
+        out = jax.jit(lambda o, d, s: _iteration(o, d, cfg, s))(
+            op_s, data_s, st_s)
+    np.testing.assert_allclose(np.asarray(out.b), np.asarray(ref.b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.logl), np.asarray(ref.logl),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.active),
+                                  np.asarray(ref.active))
+
+
+def test_sharded_full_solve_matches(sharded_problem):
+    op, data, cfg, st = sharded_problem
+    ref = run_iht(op, data, cfg, st)
+
+    mesh = make_mesh(n_task=2, n_snp=4)
+    op_s = shard_geno_op(op, mesh)
+    data_s = shard_data(data, mesh)
+    st_s = shard_state(st, mesh)
+    with mesh:
+        out = run_iht(op_s, data_s, cfg, st_s)
+    np.testing.assert_allclose(np.asarray(out.best_logl),
+                               np.asarray(ref.best_logl), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.b) != 0,
+                                  np.asarray(ref.b) != 0)
+    np.testing.assert_allclose(np.asarray(out.b), np.asarray(ref.b),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_task=2, n_snp=4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("task", "snp")
+    with pytest.raises(ValueError):
+        make_mesh(n_task=16, n_snp=16)

@@ -209,8 +209,8 @@ class DenseOp:
 
 def make_operator(x, dtype=jnp.float32):
     """Dispatch an input design matrix to its operator."""
-    if isinstance(x, (PackedOp, DenseOp)):
-        return x
+    if isinstance(x, (PackedOp, DenseOp)) or hasattr(x, "xtr"):
+        return x  # already an operator (incl. parallel.ShardedPackedOp)
     if isinstance(x, PackedGenotypes):
         return PackedOp(x)
     if isinstance(x, (np.ndarray, jnp.ndarray)):

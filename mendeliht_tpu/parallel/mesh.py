@@ -81,8 +81,14 @@ def shard_state(st, mesh: Mesh):
     return dataclasses.replace(st, **updates)
 
 
-def shard_geno_op(op, mesh: Mesh):
-    """Shard a PackedOp's genotype arrays across the 'snp' axis."""
+def shard_geno_op(op, mesh: Mesh, explicit: bool = True):
+    """Shard a PackedOp's genotype arrays across the 'snp' axis.
+
+    With ``explicit=True`` (default) returns a
+    :class:`~..parallel.sharded_ops.ShardedPackedOp` whose products run under
+    `shard_map` — required for the Pallas kernel path, which the SPMD
+    auto-partitioner cannot split.  ``explicit=False`` keeps a plain PackedOp
+    and relies on auto-sharding (fine for the XLA decode path)."""
     import dataclasses
     from ..ops.linalg import PackedOp
     if not isinstance(op, PackedOp):
@@ -94,6 +100,9 @@ def shard_geno_op(op, mesh: Mesh):
         packed=jax.device_put(g.packed, sh["packed"]),
         mu=jax.device_put(g.mu, sh["mu"]),
         inv_sd=jax.device_put(g.inv_sd, sh["inv_sd"]))
+    if explicit:
+        from .sharded_ops import ShardedPackedOp
+        return ShardedPackedOp(g2, mesh)
     return PackedOp(g2)
 
 

@@ -1,0 +1,199 @@
+"""Explicitly sharded genotype operator (shard_map over the (task, snp) mesh).
+
+Auto-sharding (jit + sharding annotations) partitions the XLA decode path
+fine, but a Pallas kernel is an opaque custom call to the SPMD partitioner —
+it would force an all-gather of the packed matrix. This module re-expresses
+each operator product with `shard_map` so the fused kernel runs *per shard*
+with explicit collectives:
+
+  * ``xtr`` (score X'R): SNP rows are owned by their shard — zero
+    communication (the reference's thread-local column loops,
+    src/utilities.jl:96-106, had the same structure);
+  * ``forward_sel`` (k-sparse X[:, idx] @ coef): each shard contributes the
+    selected columns it owns, then one psum over the 'snp' axis (the
+    reference's `sum!` reduction over per-thread accumulators);
+  * ``col_moments`` / ``gather_cols``: local + psum like the above.
+
+The 'task' axis shards the batch (cross-validation (fold, k) combinations)
+and never communicates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map                      # jax >= 0.4.35
+except ImportError:                                # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import decode
+from ..ops.linalg import PackedOp
+from ..genotype.snparray import PackedGenotypes
+
+
+def _local_slice(idx, p_local):
+    """Per-shard ownership mask + local indices for global SNP ids (must be
+    called inside shard_map; p_local is the shard's row count)."""
+    off = jax.lax.axis_index("snp") * p_local
+    lidx = idx - off
+    owned = (lidx >= 0) & (lidx < p_local)
+    return jnp.where(owned, lidx, 0), owned
+
+
+def _local_xt_dots(packed, R, want_missing, want_sq=False):
+    from ..ops import linalg as _lin
+    if _lin._use_pallas():
+        from ..ops import pallas_kernels as pk
+        return pk.xt_dots(packed, R.T, want_missing=want_missing,
+                          want_sq=want_sq)
+    return decode.xt_dots(packed, R.T, want_missing=want_missing,
+                          want_sq=want_sq)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedPackedOp:
+    """Drop-in PackedOp whose products are shard_map'ed over `mesh`.
+
+    `geno` holds globally-shaped arrays placed with the canonical shardings
+    (packed/mu/inv_sd split along 'snp'); batch inputs are expected sharded
+    (or shardable) along 'task'."""
+    geno: PackedGenotypes
+    mesh: Mesh
+
+    def tree_flatten(self):
+        return (self.geno,), (self.mesh,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    # -- shape properties mirror PackedOp --------------------------------
+    @property
+    def n(self):
+        return self.geno.n
+
+    @property
+    def p(self):
+        return self.geno.p
+
+    @property
+    def n_pad(self):
+        return self.geno.n_pad
+
+    @property
+    def dtype(self):
+        return self.geno.mu.dtype
+
+    # ---------------------------------------------------------------------
+    def xtr(self, R: jnp.ndarray) -> jnp.ndarray:
+        g = self.geno
+
+        def local(packed, mu, inv_sd, R):
+            A, M, _ = _local_xt_dots(packed, R, g.has_missing)
+            colsum = jnp.sum(R, axis=1)
+            corr = M - colsum[None, :] if g.has_missing else -colsum[None, :]
+            return (inv_sd[:, None] * (A + mu[:, None] * corr)).T
+
+        f = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("snp", None), P("snp"), P("snp"), P("task", None)),
+            out_specs=P("task", "snp"))
+        return f(g.packed, g.mu, g.inv_sd, R)
+
+
+    def forward_sel(self, idx, coef, valid):
+        g = self.geno
+
+        def local(packed, mu, inv_sd, idx, coef, valid):
+            lidx, owned = _local_slice(idx, packed.shape[0])
+            sel = valid * owned.astype(coef.dtype)
+            coef_s = coef * inv_sd[lidx] * sel
+            raw = decode.sparse_forward_raw(packed, lidx, coef_s, mu,
+                                            want_missing=g.has_missing)
+            const = jnp.sum(coef_s * mu[lidx], axis=1)
+            return jax.lax.psum(raw - const[:, None], "snp")
+
+        f = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("snp", None), P("snp"), P("snp"),
+                      P("task", None), P("task", None), P("task", None)),
+            out_specs=P("task", None))
+        return f(g.packed, g.mu, g.inv_sd, idx, coef,
+                 valid.astype(coef.dtype))
+
+    def forward_sel_multi(self, idx, coef, valid):
+        g = self.geno
+
+        def local(packed, mu, inv_sd, idx, coef, valid):
+            lidx, owned = _local_slice(idx, packed.shape[0])
+            sel = valid * owned.astype(coef.dtype)
+            coef_s = coef * (inv_sd[lidx] * sel)[:, None, :]
+            raw = decode.sparse_forward_raw_multi(packed, lidx, coef_s, mu,
+                                                  want_missing=g.has_missing)
+            const = jnp.sum(coef_s * mu[lidx][:, None, :], axis=2)
+            return jax.lax.psum(raw - const[:, :, None], "snp")
+
+        f = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("snp", None), P("snp"), P("snp"),
+                      P("task", None), P("task", None, None), P("task", None)),
+            out_specs=P("task", None, None))
+        return f(g.packed, g.mu, g.inv_sd, idx, coef,
+                 valid.astype(coef.dtype))
+
+    def gather_cols(self, idx, valid):
+        g = self.geno
+        dtype = self.dtype
+
+        def local(packed, mu, inv_sd, idx, valid):
+            lidx, owned = _local_slice(idx, packed.shape[0])
+            val, miss = decode.gather_decode_raw(packed, lidx, dtype,
+                                                 want_missing=g.has_missing)
+            mu_s = mu[lidx][:, :, None]
+            inv = inv_sd[lidx][:, :, None]
+            if g.has_missing:
+                val = val + mu_s * miss
+            out = (val - mu_s) * inv
+            sel = (valid * owned.astype(dtype))[:, :, None]
+            return jax.lax.psum(out * sel, "snp")
+
+        f = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("snp", None), P("snp"), P("snp"),
+                      P("task", None), P("task", None)),
+            out_specs=P("task", None, None))
+        return f(g.packed, g.mu, g.inv_sd, idx, valid.astype(dtype))
+
+    def col_moments(self, W, WY):
+        g = self.geno
+
+        def local(packed, mu, inv_sd, W, WY):
+            B = W.shape[0]
+            R = jnp.stack([W, WY], axis=0).reshape(2 * B, -1)
+            A, M, Sq = _local_xt_dots(packed, R, g.has_missing, want_sq=True)
+            A = A.T.reshape(2, B, -1)
+            Sq = Sq.T.reshape(2, B, -1)
+            if g.has_missing:
+                M = M.T.reshape(2, B, -1)
+            else:
+                M = jnp.zeros_like(A)
+            mu_, inv = mu[None, :], inv_sd[None, :]
+            sumW = jnp.sum(W, axis=1)[:, None]
+            sumWY = jnp.sum(WY, axis=1)[:, None]
+            Sx = inv * (A[0] + mu_ * (M[0] - sumW))
+            Sxy = inv * (A[1] + mu_ * (M[1] - sumWY))
+            Sxx = inv * inv * (Sq[0] - 2.0 * mu_ * A[0] - mu_ * mu_ * M[0]
+                               + mu_ * mu_ * sumW)
+            return Sx, Sxx, Sxy
+
+        f = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("snp", None), P("snp"), P("snp"),
+                      P("task", None), P("task", None)),
+            out_specs=(P("task", "snp"),) * 3)
+        return f(g.packed, g.mu, g.inv_sd, W, WY)

@@ -75,6 +75,50 @@ def test_sharded_full_solve_matches(sharded_problem):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_task,n_snp", [(4, 2), (1, 8)])
+def test_shardmap_operator_matches(sharded_problem, n_task, n_snp):
+    """Explicit shard_map operator (required for the Pallas path on real
+    multi-chip hardware) must equal the plain operator exactly."""
+    op, data, cfg, st = sharded_problem
+    mesh = make_mesh(n_task=n_task, n_snp=n_snp)
+    op_s = shard_geno_op(op, mesh, explicit=True)
+    rng = np.random.default_rng(3)
+    B = 4
+    R = jnp.asarray(rng.standard_normal((B, op.n_pad)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(op_s.xtr(R)),
+                               np.asarray(op.xtr(R)), rtol=2e-5, atol=1e-4)
+    idx = jnp.asarray(rng.integers(0, op.p, (B, 6)), jnp.int32)
+    coef = jnp.asarray(rng.standard_normal((B, 6)), jnp.float32)
+    valid = jnp.asarray(rng.random((B, 6)) > 0.3, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(op_s.forward_sel(idx, coef, valid)),
+        np.asarray(op.forward_sel(idx, coef, valid)), rtol=2e-5, atol=1e-4)
+    W = jnp.asarray(rng.random((B, op.n_pad)), jnp.float32)
+    WY = W * jnp.asarray(rng.standard_normal(op.n_pad), jnp.float32)
+    for a, b in zip(op_s.col_moments(W, WY), op.col_moments(W, WY)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-4)
+    gc_s = op_s.gather_cols(idx, valid)
+    gc = op.gather_cols(idx, valid)
+    np.testing.assert_allclose(np.asarray(gc_s), np.asarray(gc),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_shardmap_full_solve_matches(sharded_problem):
+    """The whole solver run with the shard_map operator == single device."""
+    op, data, cfg, st = sharded_problem
+    ref = run_iht(op, data, cfg, st)
+    mesh = make_mesh(n_task=2, n_snp=4)
+    op_s = shard_geno_op(op, mesh, explicit=True)
+    data_s = shard_data(data, mesh)
+    st_s = shard_state(st, mesh)
+    out = run_iht(op_s, data_s, cfg, st_s)
+    np.testing.assert_allclose(np.asarray(out.best_logl),
+                               np.asarray(ref.best_logl), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.b), np.asarray(ref.b),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_mesh_shapes():
     mesh = make_mesh(n_task=2, n_snp=4)
     assert mesh.devices.shape == (2, 4)

@@ -46,6 +46,7 @@ from .utils.simulate import (
     simulate_random_snparray, simulate_correlated_snparray,
     simulate_random_response, simulate_random_multivariate_response,
     random_covariance_matrix, make_bim_fam_files, adhoc_add_correlation,
+    make_snparray,
 )
 from .utils.weights import maf_weights
 from .models.pve import pve_from_model as pve
@@ -66,6 +67,7 @@ __all__ = [
     "simulate_random_snparray", "simulate_correlated_snparray",
     "simulate_random_response", "simulate_random_multivariate_response",
     "random_covariance_matrix", "make_bim_fam_files", "adhoc_add_correlation",
+    "make_snparray",
     "maf_weights", "pve", "project_k", "project_group_sparse", "standardize",
     "parse_genotypes", "parse_phenotypes", "parse_covariates",
     "naive_impute", "loglikelihood", "deviance", "score", "mle_for_r",

@@ -67,7 +67,7 @@ def _split_hi_lo_rows(rhsT):
 
 
 def _kernel(packed_ref, rhs_ref, a_ref, m_ref, s_ref, *, want_missing,
-            want_sq):
+            want_sq, decode_dtype=jnp.int32):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -78,7 +78,7 @@ def _kernel(packed_ref, rhs_ref, a_ref, m_ref, s_ref, *, want_missing,
         if want_sq:
             s_ref[:] = jnp.zeros_like(s_ref)
 
-    t = packed_ref[:].astype(jnp.int32)
+    t = packed_ref[:].astype(decode_dtype)
     h = (t >> 1) & 0x55
     w8 = h + (h & t)                      # all 4 crumbs value-coded {0,1,2}
     if want_missing:
@@ -111,17 +111,18 @@ def _kernel(packed_ref, rhs_ref, a_ref, m_ref, s_ref, *, want_missing,
         s_ref[:] = acc_s
 
 
-def _xt_dots_chunk(packed, rhsT_bf16, *, want_missing, want_sq):
+def _xt_dots_chunk(packed, rhsT_bf16, *, want_missing, want_sq, tp=_TP,
+                   tn4=_TN4, decode_dtype=jnp.int32):
     """packed (p_pad, n4_pad) uint8, rhsT_bf16 (4, M2, n4_pad) bf16 ->
     (A, M, S) each (M2, p_pad) f32."""
     p_pad, n4_pad = packed.shape
     m2 = rhsT_bf16.shape[1]
-    grid = (p_pad // _TP, n4_pad // _TN4)
+    grid = (p_pad // tp, n4_pad // tn4)
     in_specs = [
-        pl.BlockSpec((_TP, _TN4), lambda i, j: (i, j)),
-        pl.BlockSpec((4, m2, _TN4), lambda i, j: (0, 0, j)),
+        pl.BlockSpec((tp, tn4), lambda i, j: (i, j)),
+        pl.BlockSpec((4, m2, tn4), lambda i, j: (0, 0, j)),
     ]
-    out_spec = pl.BlockSpec((m2, _TP), lambda i, j: (0, i))
+    out_spec = pl.BlockSpec((m2, tp), lambda i, j: (0, i))
     n_out = 1 + int(want_missing) + int(want_sq)
     flops = 2 * p_pad * 4 * n4_pad * m2 * n_out
     cost = pl.CostEstimate(
@@ -130,7 +131,7 @@ def _xt_dots_chunk(packed, rhsT_bf16, *, want_missing, want_sq):
         + p_pad * m2 * 4 * n_out,
         transcendentals=0)
     kern = functools.partial(_kernel, want_missing=want_missing,
-                             want_sq=want_sq)
+                             want_sq=want_sq, decode_dtype=decode_dtype)
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=(out_spec, out_spec, out_spec),
@@ -139,9 +140,11 @@ def _xt_dots_chunk(packed, rhsT_bf16, *, want_missing, want_sq):
     )(packed, rhsT_bf16)
 
 
-@functools.partial(jax.jit, static_argnames=("want_missing", "want_sq"))
+@functools.partial(jax.jit, static_argnames=("want_missing", "want_sq", "tp",
+                                             "tn4", "decode_dtype"))
 def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
-            want_sq: bool = False):
+            want_sq: bool = False, tp: int = _TP, tn4: int = _TN4,
+            decode_dtype=jnp.int32):
     """Fused decode + multi-RHS dots; same contract as decode.xt_dots.
 
     packed (p, n4) uint8; rhs (4*n4, m) float32.
@@ -149,8 +152,8 @@ def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
     dot (or None)."""
     p, n4 = packed.shape
     m = rhs.shape[1]
-    p_pad = _cdiv(p, _TP) * _TP
-    n4_pad = _cdiv(n4, _TN4) * _TN4
+    p_pad = _cdiv(p, tp) * tp
+    n4_pad = _cdiv(n4, tn4) * tn4
     if p_pad != p:
         packed = jnp.pad(packed, ((0, p_pad - p), (0, 0)))
     rhs_planes = rhs.astype(jnp.float32).reshape(4, n4, m)
@@ -166,7 +169,8 @@ def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
         chunk = jnp.concatenate([rhsT2[:, lo:hi], rhsT2[:, m + lo:m + hi]],
                                 axis=1)                 # (4, 2c, n4_pad)
         o = _xt_dots_chunk(packed, chunk, want_missing=want_missing,
-                           want_sq=want_sq)
+                           want_sq=want_sq, tp=tp, tn4=tn4,
+                           decode_dtype=decode_dtype)
         c = hi - lo
         for k in range(3):
             outs[k].append(o[k][:c] + o[k][c:2 * c])    # merge hi+lo rows

@@ -206,6 +206,23 @@ def adhoc_add_correlation(codes: np.ndarray, rho: float, pos: int, location,
     return codes
 
 
+def make_snparray(s, values) -> PackedGenotypes:
+    """Pack an additive-value matrix {0,1,2} (np.nan = missing) into
+    PackedGenotypes, optionally writing a PLINK .bed at path `s`
+    (reference export `make_snparray`, src/MendelIHT.jl:31, backed by
+    _make_snparray src/simulate_utilities.jl:85-101)."""
+    vals = np.asarray(values)
+    if np.issubdtype(vals.dtype, np.floating):
+        miss = np.isnan(vals)
+        codes = _values_to_codes(np.where(miss, 0, vals).astype(np.uint8))
+        codes[miss] = 1
+    else:
+        codes = _values_to_codes(vals.astype(np.uint8))
+    if isinstance(s, str):
+        write_plink_bed(s, codes)
+    return PackedGenotypes.from_codes(codes)
+
+
 def make_bim_fam_files(x, y, name: str):
     """Write `.bim`/`.fam` companions for a simulated .bed
     (reference src/simulate_utilities.jl:360-383)."""

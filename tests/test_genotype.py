@@ -65,3 +65,23 @@ def test_maf_and_grm(rng):
     np.testing.assert_allclose(G, G.T, atol=1e-12)
     X = g.to_dense_standardized()
     np.testing.assert_allclose(G, X @ X.T / g.p, atol=1e-10)
+
+
+def test_make_snparray(tmp_path, rng):
+    """make_snparray packs {0,1,2} values (nan = missing) and optionally
+    writes a .bed (reference export, src/MendelIHT.jl:31)."""
+    from mendeliht_tpu import make_snparray
+    vals = rng.choice([0.0, 1.0, 2.0, np.nan], size=(40, 25),
+                      p=[0.4, 0.3, 0.2, 0.1])
+    bed = str(tmp_path / "mk")
+    g = make_snparray(bed + ".bed", vals)
+    assert g.n == 40 and g.p == 25
+    codes = unpack_codes(np.asarray(g.packed), g.n)
+    vmap = {0: 0.0, 2: 1.0, 3: 2.0}
+    dec = np.vectorize(lambda c: vmap.get(c, np.nan))(codes).T
+    np.testing.assert_array_equal(np.isnan(dec), np.isnan(vals))
+    np.testing.assert_array_equal(dec[~np.isnan(vals)], vals[~np.isnan(vals)])
+    from mendeliht_tpu import make_bim_fam_files
+    make_bim_fam_files(g, np.zeros(g.n), bed)
+    g2 = read_plink(bed)
+    assert np.array_equal(np.asarray(g2.snparray.packed), np.asarray(g.packed))

@@ -77,12 +77,12 @@ def kernel_roofline(geno, m: int = 1, iters: int = 10, want_missing=None):
         return outs
 
     rhs0 = jnp.ones((n_pad, m), jnp.float32)
-    jax.block_until_ready(loop(packed, rhs0, want_missing, iters))   # compile
-    # salt the timed input: remote runtimes (axon) memoize executions with
-    # identical input buffers, which would otherwise measure a cache hit
+    # NOTE: on remote backends (axon) jax.block_until_ready does NOT wait for
+    # execution — only a host fetch synchronizes.  Fetch a scalar to time.
+    np.asarray(loop(packed, rhs0, want_missing, iters)[-1])          # compile
     rhs1 = rhs0 * (1.0 + 1e-7)
     t0 = time.time()
-    jax.block_until_ready(loop(packed, rhs1, want_missing, iters))
+    np.asarray(loop(packed, rhs1, want_missing, iters)[-1])
     dt = (time.time() - t0) / iters
     bw = packed.nbytes / dt
     roof = device_hbm_bandwidth()

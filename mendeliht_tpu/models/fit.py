@@ -189,7 +189,15 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
         cfg = _dc.replace(cfg, log_iters=True)
 
     t0 = _time.time()
-    ks = jnp.asarray([0 if cfg.group_k_is_vector else k_scalar], jnp.int32)
+    # per-task k carries the reference's `v.k` semantics: the per-group cap in
+    # scalar-k group mode, the total sparsity otherwise (utilities.jl:255)
+    if cfg.group_k_is_vector:
+        k_task = 0
+    elif cfg.use_group:
+        k_task = int(k)
+    else:
+        k_task = k_scalar
+    ks = jnp.asarray([k_task], jnp.int32)
     cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
     st, sg = fit_fused(op, data, cfg, ks, cv_wts, init_beta=init_beta)
     # single host round-trip for everything the result needs

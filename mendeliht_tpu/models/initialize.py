@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import glm
-from ..ops.projections import project_topk_joint, project_group_sparse_batched, select_support
+from ..ops.projections import (project_topk_joint, project_group_sparse_batched,
+                               project_group_sparse_per_task, select_support)
 from .state import IHTState, FitConfig, FitData
 from .univariate import _forward, _score
 import dataclasses
@@ -122,7 +123,12 @@ def init_state(op, data: FitData, cfg: FitConfig, k, cv_wts,
         # reference quirk (src/utilities.jl:427-429): group init projects the
         # score but computes the support from (all-zero) b -> empty support,
         # idc all true. First step then uses the eta = 1e-8 guard.
-        df_p = project_group_sparse_batched(df, data.group, cfg.J, data.group_ks, cfg.n_groups)
+        if cfg.group_k_is_vector:
+            df_p = project_group_sparse_batched(
+                df, data.group, cfg.J, data.group_ks, cfg.n_groups)
+        else:
+            df_p = project_group_sparse_per_task(
+                df, data.group, cfg.J, k, cfg.n_groups)
         st = dataclasses.replace(
             st, df=df_p,
             sel_valid=jnp.zeros_like(st.sel_valid),

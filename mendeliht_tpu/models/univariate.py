@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import glm, negbin
-from ..ops.projections import project_topk_joint, project_group_sparse_batched, select_support
+from ..ops.projections import (project_topk_joint, project_group_sparse_batched,
+                               project_group_sparse_per_task, select_support)
 from .state import IHTState, FitConfig, FitData
 
 _INF_STEP_GUARD = 1e-8
@@ -78,8 +79,15 @@ def _gradstep(op, data: FitData, cfg: FitConfig, st: IHTState, eta):
     c1 = st.c0 + eta[:, None] * st.df2
     if cfg.use_group:
         # group path projects only the genetic coefficients
-        # (reference src/utilities.jl:267-269)
-        b_new = project_group_sparse_batched(b1, data.group, cfg.J, data.group_ks, cfg.n_groups)
+        # (reference src/utilities.jl:267-269); with a scalar per-group k the
+        # cap is the task's own st.k so cv varies it per (fold, k) combo
+        # (reference src/cross_validation.jl:109, src/utilities.jl:255)
+        if cfg.group_k_is_vector:
+            b_new = project_group_sparse_batched(
+                b1, data.group, cfg.J, data.group_ks, cfg.n_groups)
+        else:
+            b_new = project_group_sparse_per_task(
+                b1, data.group, cfg.J, st.k, cfg.n_groups)
         c_new = c1
         sel_idx, sel_valid = select_support(
             b_new, jnp.zeros_like(c1), data.zkeep, cfg.S)

@@ -158,6 +158,22 @@ def project_group_sparse_batched(y, group, J: int, ks, n_groups: int):
     return jax.vmap(lambda v: _group_sparse_one(v, group0, ks, J, n_groups))(y)
 
 
+def project_group_sparse_per_task(y, group, J: int, k_task, n_groups: int):
+    """Batched doubly-sparse projection where every group's cap is the task's
+    own scalar sparsity `k_task` (B,) — the reference's `v.k` semantics for
+    scalar-k group IHT, which cross-validation varies per (fold, k) combo
+    (reference src/cross_validation.jl:109 `v.k = sparsity`,
+    src/utilities.jl:255 `k = length(v.ks) > 0 ? v.ks : v.k`)."""
+    group0 = (jnp.asarray(group) - 1).astype(jnp.int32)
+    k_task = jnp.asarray(k_task, jnp.int32)
+
+    def one(v, kt):
+        ks = jnp.broadcast_to(kt, (n_groups,))
+        return _group_sparse_one(v, group0, ks, J, n_groups)
+
+    return jax.vmap(one)(y, k_task)
+
+
 def project_group_sparse(y, group, J: int, k):
     """Project onto <= J active groups with <= k (or k[g]) predictors each.
 

@@ -65,6 +65,39 @@ def test_iht_run_many_models(cv_problem):
     assert logls[0] <= logls[1] + 1e-3 and logls[1] <= logls[2] + 1e-3
 
 
+def test_cv_group_per_task_k(cv_problem):
+    """cv with groups must fit each (fold, k) task at its OWN per-group cap k
+    (reference cross_validation.jl:109 `v.k = sparsity`), not max(path).
+    Batched cv must equal the same k run alone."""
+    x, y, pos = cv_problem
+    p = x.shape[1]
+    group = (np.arange(p) % 4) + 1            # 4 groups
+    folds = np.tile(np.arange(1, 3), 250)[:x.shape[0]]
+    mse_batch = m.cv_iht(y, x, path=[2, 5], q=2, folds=folds, group=group,
+                         d=m.Normal(), verbose=False)
+    mse_k2 = m.cv_iht(y, x, path=[2], q=2, folds=folds, group=group,
+                      d=m.Normal(), verbose=False)
+    mse_k5 = m.cv_iht(y, x, path=[5], q=2, folds=folds, group=group,
+                      d=m.Normal(), verbose=False)
+    np.testing.assert_allclose(mse_batch, [mse_k2[0], mse_k5[0]], rtol=1e-5)
+    # a smaller per-group cap must actually bind (different fits)
+    assert abs(mse_batch[0] - mse_batch[1]) > 1e-8
+
+
+def test_fit_group_support_size(cv_problem):
+    """Scalar-k group fit keeps at most J groups x k per group
+    (reference project_group_sparse!, src/utilities.jl:613-645)."""
+    x, y, pos = cv_problem
+    p = x.shape[1]
+    group = (np.arange(p) % 4) + 1
+    for k in (2, 3):
+        res = m.fit_iht(y, x, k=k, J=2, d=m.Normal(), group=group,
+                        verbose=False)
+        nz = np.flatnonzero(res.beta)
+        assert len(nz) <= 2 * k
+        assert len(np.unique(group[nz])) <= 2
+
+
 def test_cv_debias(cv_problem):
     x, y, pos = cv_problem
     mse = m.cv_iht(y, x, path=[3, 5, 7], q=3, d=m.Normal(), debias=True,

@@ -90,10 +90,8 @@ def load_problem():
         log("simulating benchmark problem (one-time)...")
         rng = np.random.default_rng(2026)
         packed, mu, inv_sd, has_missing, causal, beta = _gen_problem(rng)
-        g = PackedGenotypes(
-            packed=jnp.asarray(packed), mu=jnp.asarray(mu, jnp.float32),
-            inv_sd=jnp.asarray(inv_sd, jnp.float32), n=N, p=P,
-            has_missing=has_missing)
+        g = PackedGenotypes.from_packed(
+            packed, mu, inv_sd, n=N, p=P, has_missing=has_missing)
         from mendeliht_tpu.ops.linalg import make_operator
         op = make_operator(g)
         idx = jnp.asarray(causal[None, :])
@@ -103,10 +101,8 @@ def load_problem():
         np.savez(f, packed=packed, mu=mu, inv_sd=inv_sd, causal=causal,
                  beta=beta, y=y, has_missing=has_missing)
         del op, g
-    g = PackedGenotypes(
-        packed=jnp.asarray(packed), mu=jnp.asarray(mu, jnp.float32),
-        inv_sd=jnp.asarray(inv_sd, jnp.float32), n=N, p=P,
-        has_missing=has_missing)
+    g = PackedGenotypes.from_packed(
+        packed, mu, inv_sd, n=N, p=P, has_missing=has_missing)
     return g, y, causal, beta
 
 

@@ -48,6 +48,14 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _bytes_to_words(packed: np.ndarray) -> np.ndarray:
+    """(p, n4) uint8 -> (p, n4//4) int32 little-endian view (zero-copy when
+    contiguous). Matches jax.lax.bitcast_convert_type byte order."""
+    packed = np.ascontiguousarray(packed)
+    p, n4 = packed.shape
+    return packed.view(np.int32).reshape(p, n4 // 4)
+
+
 def pack_codes(codes: np.ndarray, n4: int | None = None) -> np.ndarray:
     """Pack a (p, n) uint8 code matrix (values 0..3) into the crumb-transposed
     (p, n4) uint8 layout. Padding samples are code 0 (additive value 0)."""
@@ -97,9 +105,14 @@ class PackedGenotypes:
 
     Logical orientation follows the reference's univariate convention: samples
     are rows, SNPs are columns (`x[i, j]`), though storage is SNP-major.
+
+    Device storage is ``words``: the crumb-transposed byte matrix bitcast to
+    (p, n4/4) int32 (little-endian), so the Pallas decode kernel processes 16
+    genotypes per 32-bit VPU lane with zero per-pass relayout copies.  The
+    byte view is available as the (derived) ``packed`` property.
     """
 
-    packed: jnp.ndarray      # (p, n4) uint8, crumb-transposed
+    words: jnp.ndarray       # (p, n4//4) int32, crumb-transposed bytes
     mu: jnp.ndarray          # (p,) observed mean additive value
     inv_sd: jnp.ndarray      # (p,) 1/sd, or 0 where sd == 0
     n: int                   # true sample count (static)
@@ -112,14 +125,14 @@ class PackedGenotypes:
     # host-only metadata (maf_, n_missing: numpy arrays) is intentionally NOT
     # part of the pytree: aux data must be hashable/comparable for jit caching.
     def tree_flatten(self):
-        return (self.packed, self.mu, self.inv_sd), (
+        return (self.words, self.mu, self.inv_sd), (
             self.n, self.p, self.has_missing)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        packed, mu, inv_sd = children
+        words, mu, inv_sd = children
         n, p, has_missing = aux
-        return cls(packed, mu, inv_sd, n, p, has_missing, None, None)
+        return cls(words, mu, inv_sd, n, p, has_missing, None, None)
 
     # -- properties --------------------------------------------------------
     @property
@@ -127,12 +140,20 @@ class PackedGenotypes:
         return (self.n, self.p)
 
     @property
+    def packed(self) -> jnp.ndarray:
+        """(p, n4) uint8 byte view of the storage (derived; the XLA oracle
+        path and host-side unpackers consume bytes)."""
+        w = self.words
+        return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(
+            w.shape[0], 4 * w.shape[1])
+
+    @property
     def n4(self) -> int:
-        return self.packed.shape[1]
+        return 4 * self.words.shape[1]
 
     @property
     def n_pad(self) -> int:
-        return 4 * self.packed.shape[1]
+        return 16 * self.words.shape[1]
 
     @property
     def dtype(self):
@@ -140,7 +161,7 @@ class PackedGenotypes:
 
     def __repr__(self):
         return (f"PackedGenotypes(n={self.n}, p={self.p}, "
-                f"packed={tuple(self.packed.shape)} uint8, "
+                f"words={tuple(self.words.shape)} int32, "
                 f"has_missing={self.has_missing})")
 
     # -- constructors ------------------------------------------------------
@@ -164,11 +185,25 @@ class PackedGenotypes:
         packed = pack_codes(codes)
         np_dtype = np.dtype(dtype)
         return cls(
-            packed=jnp.asarray(packed),
+            words=jnp.asarray(_bytes_to_words(packed)),
             mu=jnp.asarray(mu.astype(np_dtype)),
             inv_sd=jnp.asarray(inv_sd.astype(np_dtype)),
             n=n, p=p, has_missing=bool(n_mis.sum() > 0),
             maf_=maf_, n_missing=n_mis,
+        )
+
+    @classmethod
+    def from_packed(cls, packed: np.ndarray, mu, inv_sd, *, n: int, p: int,
+                    has_missing: bool, dtype=jnp.float32) -> "PackedGenotypes":
+        """Build from an already crumb-transposed (p, n4) uint8 byte matrix
+        with precomputed per-SNP stats (simulators / benchmarks)."""
+        np_dtype = np.dtype(dtype)
+        return cls(
+            words=jnp.asarray(_bytes_to_words(np.asarray(packed))),
+            mu=jnp.asarray(np.asarray(mu, np_dtype)),
+            inv_sd=jnp.asarray(np.asarray(inv_sd, np_dtype)),
+            n=n, p=p, has_missing=bool(has_missing),
+            maf_=None, n_missing=None,
         )
 
     @classmethod
@@ -209,7 +244,7 @@ class PackedGenotypes:
         mu, inv_sd, maf_ = _stats_from_counts(n - n_mis, n_het, n_alt)
         np_dtype = np.dtype(dtype)
         return cls(
-            packed=jnp.asarray(packed),
+            words=jnp.asarray(_bytes_to_words(packed)),
             mu=jnp.asarray(mu.astype(np_dtype)),
             inv_sd=jnp.asarray(inv_sd.astype(np_dtype)),
             n=n, p=p, has_missing=bool(n_mis.sum() > 0),

@@ -14,7 +14,7 @@ from ..ops.linalg import make_operator, PackedOp
 from ..genotype.snparray import PackedGenotypes
 from .state import FitConfig, FitData
 from .initialize import init_state
-from .univariate import run_iht, fit_fused
+from .univariate import run_iht, fit_fused, fit_fused_sparse
 from .pve import pve as _pve, masked_var
 from .results import IHTResult
 
@@ -114,7 +114,10 @@ def build_fit(y, x, z=None, *, k=10, J=1, d=None, l=None, group=None,
             gks = np.full(n_groups, int(k), np.int32)
             k_scalar = int(J) * int(k)
     else:
-        group_arr = np.ones(p, np.int32)
+        # placeholder: data.group is only read when cfg.use_group (static), so
+        # skip shipping a p-length array to the device on every fit — the
+        # host->device link dominates small-fit latency on remote TPUs.
+        group_arr = np.ones(1, np.int32)
         n_groups = 1
         gks = np.asarray([0], np.int32)
         k_scalar = int(k)
@@ -199,10 +202,15 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
         k_task = k_scalar
     ks = jnp.asarray([k_task], jnp.int32)
     cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
-    st, sg = fit_fused(op, data, cfg, ks, cv_wts, init_beta=init_beta)
-    # single host round-trip for everything the result needs
-    b_h, c_h, logl_h, iters_h, failed_h, sg_h = jax.device_get(
-        (st.b[0], st.c[0], st.best_logl[0], st.iters[0], st.failed[0], sg[0]))
+    sel_idx, sel_valid, sel_bc, c, logl, iters, failed, sg = fit_fused_sparse(
+        op, data, cfg, ks, cv_wts, init_beta=init_beta)
+    # single host round-trip, sparse: ~S floats instead of the dense (p,) beta
+    (sel_idx_h, sel_valid_h, sel_bc_h, c_h, logl_h, iters_h, failed_h,
+     sg_h) = jax.device_get((sel_idx[0], sel_valid[0], sel_bc[0], c[0],
+                             logl[0], iters[0], failed[0], sg[0]))
+    b_h = np.zeros(op.p, np.asarray(sel_bc_h).dtype)
+    is_g = sel_valid_h & (sel_idx_h < op.p)
+    b_h[sel_idx_h[is_g]] = sel_bc_h[is_g]
     tot_time = _time.time() - t0
 
     if bool(failed_h):

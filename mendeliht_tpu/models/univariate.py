@@ -302,6 +302,22 @@ def fit_fused(op, data: FitData, cfg: FitConfig, ks, cv_wts,
 
 
 @partial(jax.jit, static_argnames=("cfg", "init_beta"))
+def fit_fused_sparse(op, data: FitData, cfg: FitConfig, ks, cv_wts,
+                     init_beta: bool = False):
+    """fit_fused + on-device sparse extraction of the result.
+
+    Returns (sel_idx, sel_valid, sel_bc, c, logl, iters, failed, sigma_g) —
+    everything the host needs without fetching the dense (B, p) beta over a
+    (potentially high-latency) device link. sel_idx indexes the concatenated
+    [b; c] vector; sel_bc carries its values."""
+    st, sigma_g = fit_fused(op, data, cfg, ks, cv_wts, init_beta=init_beta)
+    full = jnp.concatenate([st.b, st.c], axis=1)
+    sel_bc = jnp.take_along_axis(full, st.sel_idx, axis=1) * st.sel_valid
+    return (st.sel_idx, st.sel_valid, sel_bc, st.c, st.best_logl, st.iters,
+            st.failed, sigma_g)
+
+
+@partial(jax.jit, static_argnames=("cfg", "init_beta"))
 def cv_fused(op, data: FitData, cfg: FitConfig, ks, train_wts, test_wts,
              init_beta: bool = False):
     """init + solve + holdout deviance in ONE compiled program (the full

@@ -85,15 +85,24 @@ def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
     return A, M, S
 
 
-@functools.partial(jax.jit, static_argnames=("want_missing", "dtype"))
-def gather_decode_raw(packed: jnp.ndarray, idx: jnp.ndarray, dtype,
-                      *, want_missing: bool):
-    """Decode selected SNP rows: (B, S, 4*n4) raw values + missing planes.
+def take_rows_bytes(words: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather SNP rows from the canonical int32-word storage -> (B, S, n4) u8.
 
-    Returns (val, miss) with miss None when want_missing is False."""
+    The gather runs on the int32 array (natural TPU layout); only the small
+    (B*S, nw) gathered block is bitcast to bytes.  Deriving the full byte view
+    first (PackedGenotypes.packed) would relayout-copy the whole matrix."""
     B, S = idx.shape
-    n4 = packed.shape[1]
-    g = packed[idx.reshape(-1)].reshape(B, S, n4)
+    g = words[idx.reshape(-1)]                              # (B*S, nw) int32
+    by = jax.lax.bitcast_convert_type(g, jnp.uint8)         # (B*S, nw, 4)
+    return by.reshape(B, S, 4 * words.shape[1])
+
+
+@functools.partial(jax.jit, static_argnames=("want_missing", "dtype"))
+def gather_decode_rows(rows: jnp.ndarray, dtype, *, want_missing: bool):
+    """Decode pre-gathered SNP rows (B, S, n4) u8 -> (B, S, 4*n4) raw values
+    + missing planes.  Returns (val, miss); miss is None when want_missing is
+    False."""
+    g = rows
     vals, misses = [], []
     for s in range(4):
         crumbs = _plane_crumbs(g, s)
@@ -105,21 +114,27 @@ def gather_decode_raw(packed: jnp.ndarray, idx: jnp.ndarray, dtype,
     return val, miss
 
 
+def gather_decode_raw(packed: jnp.ndarray, idx: jnp.ndarray, dtype,
+                      *, want_missing: bool):
+    """Byte-storage wrapper for :func:`gather_decode_rows` (tests/oracle)."""
+    B, S = idx.shape
+    rows = packed[idx.reshape(-1)].reshape(B, S, packed.shape[1])
+    return gather_decode_rows(rows, dtype, want_missing=want_missing)
+
+
 @functools.partial(jax.jit, static_argnames=("want_missing",))
-def sparse_forward_raw_multi(packed: jnp.ndarray, idx: jnp.ndarray,
-                             coef: jnp.ndarray, mu: jnp.ndarray,
-                             *, want_missing: bool):
+def sparse_forward_rows_multi(rows: jnp.ndarray, idx: jnp.ndarray,
+                              coef: jnp.ndarray, mu: jnp.ndarray,
+                              *, want_missing: bool):
     """Multi-trait raw sparse forward product (multivariate IHT).
 
-    packed: (p, n4); idx: (B, S) SNP indices shared across traits;
-    coef: (B, R, S) per-trait coefficients already scaled by inv_sd and
-    masked. Returns (B, R, 4*n4).  Gathers each selected SNP row once and
-    contracts against all traits (reference analog: update_xb! BX = B[:,idx] *
-    X[idx,:], src/multivariate.jl:21-31)."""
-    B, S = idx.shape
-    n4 = packed.shape[1]
+    rows: (B, S, n4) pre-gathered packed rows; idx: (B, S) SNP indices shared
+    across traits; coef: (B, R, S) per-trait coefficients already scaled by
+    inv_sd and masked. Returns (B, R, 4*n4).  Gathers each selected SNP row
+    once and contracts against all traits (reference analog: update_xb!
+    BX = B[:,idx] * X[idx,:], src/multivariate.jl:21-31)."""
+    g = rows
     dtype = coef.dtype
-    g = packed[idx.reshape(-1)].reshape(B, S, n4)
     mus = mu[idx][:, None, :] * coef                  # (B, R, S)
     out = []
     for s in range(4):
@@ -133,21 +148,30 @@ def sparse_forward_raw_multi(packed: jnp.ndarray, idx: jnp.ndarray,
     return jnp.concatenate(out, axis=2)
 
 
+def sparse_forward_raw_multi(packed: jnp.ndarray, idx: jnp.ndarray,
+                             coef: jnp.ndarray, mu: jnp.ndarray,
+                             *, want_missing: bool):
+    """Byte-storage wrapper for :func:`sparse_forward_rows_multi`."""
+    B, S = idx.shape
+    rows = packed[idx.reshape(-1)].reshape(B, S, packed.shape[1])
+    return sparse_forward_rows_multi(rows, idx, coef, mu,
+                                     want_missing=want_missing)
+
+
 @functools.partial(jax.jit, static_argnames=("want_missing",))
-def sparse_forward_raw(packed: jnp.ndarray, idx: jnp.ndarray, coef: jnp.ndarray,
-                       mu: jnp.ndarray, *, want_missing: bool):
+def sparse_forward_rows(rows: jnp.ndarray, idx: jnp.ndarray,
+                        coef: jnp.ndarray, mu: jnp.ndarray,
+                        *, want_missing: bool):
     """Raw sparse forward product plus missing correction.
 
-    packed: (p, n4); idx: (B, S) row indices; coef: (B, S) already scaled by
-    inv_sd and masked (invalid slots must carry coef == 0).
+    rows: (B, S, n4) pre-gathered packed rows; idx: (B, S) row indices;
+    coef: (B, S) already scaled by inv_sd and masked (invalid slots must
+    carry coef == 0).
     Returns (B, 4*n4):  sum_j coef[b,j] * (v_raw[:, idx] + mu*miss[:, idx]).
     The caller subtracts the constant  sum_j coef[b,j]*mu[idx[b,j]].
     """
-    B, S = idx.shape
-    n4 = packed.shape[1]
+    g = rows
     dtype = coef.dtype
-    g = packed[idx.reshape(-1)]                       # (B*S, n4) uint8
-    g = g.reshape(B, S, n4)
     mus = mu[idx] * coef                              # (B, S)
     out = []
     for s in range(4):
@@ -158,3 +182,12 @@ def sparse_forward_raw(packed: jnp.ndarray, idx: jnp.ndarray, coef: jnp.ndarray,
             xb_s = xb_s + jnp.einsum("bjn,bj->bn", miss, mus, precision=DOT_PREC)
         out.append(xb_s)
     return jnp.concatenate(out, axis=1)
+
+
+def sparse_forward_raw(packed: jnp.ndarray, idx: jnp.ndarray,
+                       coef: jnp.ndarray, mu: jnp.ndarray,
+                       *, want_missing: bool):
+    """Byte-storage wrapper for :func:`sparse_forward_rows`."""
+    B, S = idx.shape
+    rows = packed[idx.reshape(-1)].reshape(B, S, packed.shape[1])
+    return sparse_forward_rows(rows, idx, coef, mu, want_missing=want_missing)

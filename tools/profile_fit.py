@@ -1,0 +1,136 @@
+"""Fine-grained wall-clock breakdown of the headline fit on the real chip.
+
+Phases measured with a host fetch (np.asarray) for synchronization — on remote
+backends (axon) jax.block_until_ready does NOT wait for execution.
+
+Usage: python tools/profile_fit.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.bench_cache/xla")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def sync(x):
+    """Force execution + fetch one scalar."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+    return x
+
+
+def main():
+    import bench
+    import mendeliht_tpu as m
+    from mendeliht_tpu.models.fit import build_fit
+    from mendeliht_tpu.models.initialize import init_state
+    from mendeliht_tpu.models.univariate import (run_segment, finalize_iht,
+                                                 fit_fused, _iteration)
+    from mendeliht_tpu.models.pve import pve as _pve
+
+    g, y, causal, beta = bench.load_problem()
+    print(g, flush=True)
+
+    # ---------------- host-side build
+    t0 = time.time()
+    op, data, cfg, k_scalar = build_fit(y, g, k=bench.K, d=m.Normal())
+    sync(data.y)
+    t_build = time.time() - t0
+    print(f"build_fit (host prep + transfers): {t_build*1e3:8.1f} ms", flush=True)
+
+    ks = jnp.asarray([k_scalar], jnp.int32)
+    cv = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
+
+    # ---------------- phase timings (each jitted separately, warm)
+    def timeit(name, fn, *args, reps=3, **kw):
+        out = sync(fn(*args, **kw))  # compile + warm
+        t0 = time.time()
+        for _ in range(reps):
+            out = sync(fn(*args, **kw))
+        dt = (time.time() - t0) / reps
+        print(f"{name:34s}: {dt*1e3:8.1f} ms", flush=True)
+        return out
+
+    st0 = timeit("init_state", init_state, op, data, cfg, ks, cv)
+    st1 = timeit("run_segment (solve loop)", run_segment, op, data, cfg, st0,
+                 cfg.max_iter - 1, reps=1)
+    iters = int(np.asarray(st1.iteration))
+    print(f"  -> iterations: {iters}", flush=True)
+    st2 = timeit("finalize_iht", finalize_iht, op, data, cfg, st1)
+
+    # one solver iteration alone
+    one_it = jax.jit(_iteration, static_argnames=("cfg",))
+    timeit("one _iteration", one_it, op, data, cfg, st0)
+
+    # ---------------- micro pieces of one iteration
+    from mendeliht_tpu.models import univariate as U
+
+    @jax.jit
+    def xtr_only(op, r):
+        return op.xtr(r)
+
+    r = jnp.ones((1, op.n_pad), jnp.float32)
+    timeit("xtr (full-width score)", xtr_only, op, r)
+
+    @jax.jit
+    def score_only(op, data, st, cfg=cfg):
+        return U._score(op, data, cfg, st)
+
+    timeit("_score", score_only, op, data, st0)
+
+    @jax.jit
+    def stepsize_only(op, data, st, cfg=cfg):
+        return U._stepsize(op, data, cfg, st)
+
+    timeit("_stepsize", stepsize_only, op, data, st0)
+
+    @jax.jit
+    def gradstep_only(op, data, st, cfg=cfg):
+        return U._gradstep(op, data, cfg, st, jnp.ones((1,), jnp.float32))
+
+    timeit("_gradstep (projection)", gradstep_only, op, data, st0)
+
+    @jax.jit
+    def forward_only(op, data, st, cfg=cfg):
+        return U._forward(op, data, cfg, st.b, st.c, st.sel_idx, st.sel_valid)
+
+    timeit("_forward (sparse Xb)", forward_only, op, data, st0)
+
+    from mendeliht_tpu.ops.projections import fast_top_k
+
+    @jax.jit
+    def topk_only(x):
+        return fast_top_k(jnp.abs(x), cfg.S)
+
+    timeit("fast_top_k over (1, p)", topk_only, st0.df)
+
+    # ---------------- fused whole program
+    def fused(ks, cv):
+        return fit_fused(op, data, cfg, ks, cv)
+
+    timeit("fit_fused (whole program)", fused, ks, cv, reps=3)
+
+    # ---------------- public API including host prep
+    def api():
+        return m.fit_iht(y, g, k=bench.K, d=m.Normal(), verbose=False)
+
+    api()
+    t0 = time.time()
+    res = api()
+    print(f"{'fit_iht public API (warm)':34s}: {(time.time()-t0)*1e3:8.1f} ms",
+          flush=True)
+    print("iters", res.iter, "logl", res.logl, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,37 @@ Design notes (TPU-first, *not* a port):
     data movement between folds.
 """
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache, on by default (opt out with
+    MENDELIHT_NO_COMPILE_CACHE=1, or point MENDELIHT_COMPILE_CACHE_DIR
+    somewhere else).
+
+    The solver while_loop takes minutes to compile cold on TPU; the cache
+    makes every later process pay seconds instead.  Reference analog: the
+    __init__-time precompilation in reference src/MendelIHT.jl:54-59."""
+    if _os.environ.get("MENDELIHT_NO_COMPILE_CACHE"):
+        return
+    import jax
+    if jax.config.jax_compilation_cache_dir:
+        return  # user already configured one
+    cache = _os.environ.get(
+        "MENDELIHT_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "mendeliht_tpu",
+                      "xla"))
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
 from .ops.glm import (
     Normal, Bernoulli, Poisson, NegativeBinomial, Gamma, InverseGaussian,
     MvNormal, Binomial,

@@ -46,7 +46,7 @@ def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
            group=None, weight=None, zkeep=None, folds=None, debias=False,
            verbose=True, max_iter=100, min_iter=5, init_beta=False,
            memory_efficient=True, dtype=jnp.float32, rng=None,
-           checkpoint_dir=None, checkpoint_every=20):
+           checkpoint_dir=None, checkpoint_every=20, show_progress=False):
     """q-fold cross validation over a path of sparsity levels; returns the
     vector of fold-size-weighted holdout deviances per k (reference
     src/cross_validation.jl:60-131)."""
@@ -83,14 +83,16 @@ def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
         test[i, :n] = folds == fold
 
     t0 = _time.time()
-    if checkpoint_dir is None:
+    if checkpoint_dir is not None:
+        mses = _cv_checkpointed(op, data, cfg, ks, train, test, init_beta,
+                                checkpoint_dir, checkpoint_every, verbose)
+    elif show_progress:
+        mses = _cv_progress(op, data, cfg, ks, train, test, init_beta)
+    else:
         mses = np.asarray(cv_fused(op, data, cfg, ks,
                                    jnp.asarray(train, op.dtype),
                                    jnp.asarray(test, op.dtype),
                                    init_beta=init_beta))
-    else:
-        mses = _cv_checkpointed(op, data, cfg, ks, train, test, init_beta,
-                                checkpoint_dir, checkpoint_every, verbose)
     elapsed = _time.time() - t0
 
     mse = meanloss(mses, q, folds)
@@ -99,6 +101,32 @@ def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
         print_cv_results(sys.stdout, mse, path, best_k)
         print(f"Cross validation took {elapsed:.3f} seconds")
     return mse
+
+
+def _cv_progress(op, data, cfg, ks, train, test, init_beta, step=5):
+    """Segmented solve with a live progress display to stderr (the reference's
+    ProgressMeter over (fold, k) fits, src/cross_validation.jl:95; here tasks
+    converge in lockstep so progress = converged-task count per iteration)."""
+    from .univariate import run_segment, finalize_iht, predict_deviance
+
+    B = int(ks.shape[0])
+    st = init_state(op, data, cfg, ks, jnp.asarray(train, op.dtype),
+                    init_beta=init_beta)
+    while True:
+        it = int(st.iteration)
+        if it >= cfg.max_iter - 1:
+            break
+        st = run_segment(op, data, cfg, st, min(it + step, cfg.max_iter - 1))
+        n_active = int(np.asarray(jnp.sum(st.active)))
+        print(f"\rCross-validating: iteration {int(st.iteration):4d}, "
+              f"{B - n_active}/{B} models converged", end="", file=sys.stderr,
+              flush=True)
+        if n_active == 0:
+            break
+    print(file=sys.stderr)
+    st = finalize_iht(op, data, cfg, st)
+    return np.asarray(predict_deviance(op, data, cfg, st,
+                                       jnp.asarray(test, op.dtype)))
 
 
 def _cv_checkpointed(op, data, cfg, ks, train, test, init_beta,

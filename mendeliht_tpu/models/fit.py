@@ -189,7 +189,9 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
         print_iht_signature(io)
         print_parameters(io, k, cfg.dist, cfg.link, use_maf, group, debias,
                          tol, max_iter, min_iter)
-        cfg = _dc.replace(cfg, log_iters=True)
+        if io is None:
+            # live per-iteration lines stream from the device (jax.debug.print)
+            cfg = _dc.replace(cfg, log_iters=True)
 
     t0 = _time.time()
     # per-task k carries the reference's `v.k` semantics: the per-group cap in
@@ -202,8 +204,15 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
         k_task = k_scalar
     ks = jnp.asarray([k_task], jnp.int32)
     cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
-    sel_idx, sel_valid, sel_bc, c, logl, iters, failed, sg = fit_fused_sparse(
-        op, data, cfg, ks, cv_wts, init_beta=init_beta)
+    if verbose and io is not None:
+        # teed mode (reference fit.jl:194-196 writes the progress lines to
+        # `io` AND stdout): step the solver one iteration at a time so the
+        # host can write each line. `stop` is traced — no recompiles.
+        sel_idx, sel_valid, sel_bc, c, logl, iters, failed, sg = \
+            _fit_teed(op, data, cfg, ks, cv_wts, init_beta, io)
+    else:
+        sel_idx, sel_valid, sel_bc, c, logl, iters, failed, sg = \
+            fit_fused_sparse(op, data, cfg, ks, cv_wts, init_beta=init_beta)
     # single host round-trip, sparse: ~S floats instead of the dense (p,) beta
     (sel_idx_h, sel_valid_h, sel_bc_h, c_h, logl_h, iters_h, failed_h,
      sg_h) = jax.device_get((sel_idx[0], sel_valid[0], sel_bc[0], c[0],
@@ -223,8 +232,28 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
         group=(np.asarray(group) if group is not None else np.array([], int)),
         d=d, sigma_g=float(sg_h))
     if verbose:
-        print(result, file=io) if io is not None else print(result)
+        # the result block goes to stdout; callers that tee to a file append
+        # it themselves (reference wrapper.jl:85 `show(io, result)`)
+        print(result)
     return result
+
+
+def _fit_teed(op, data, cfg, ks, cv_wts, init_beta, io):
+    """Segmented solve with per-iteration progress lines written to `io` and
+    stdout (reference fit.jl:194-196); returns fit_fused_sparse's tuple."""
+    from .univariate import run_segment, progress_stats, finalize_sparse
+
+    st = init_state(op, data, cfg, ks, cv_wts, init_beta=init_beta)
+    for it in range(1, cfg.max_iter):
+        st = run_segment(op, data, cfg, st, it)
+        logl, bt, tol, any_active = jax.device_get(progress_stats(cfg, st))
+        line = (f"Iteration {it}: loglikelihood = {float(logl[0])}, "
+                f"backtracks = {int(bt[0])}, tol = {float(tol[0])}")
+        print(line, file=io)
+        print(line)
+        if not bool(any_active):
+            break
+    return jax.device_get(finalize_sparse(op, data, cfg, st))
 
 
 def cfg_est_r_requested(est_r):

@@ -517,6 +517,11 @@ def fit_mv_iht(y, x, z=None, k=10, d=None, l=None, verbose=True, tol=1e-4,
     op, data, cfg, = build_mv(y, x, z, k=k, zkeep=zkeep, tol=tol,
                               max_iter=max_iter, min_iter=min_iter,
                               max_step=max_step, dtype=dtype)
+    if verbose:
+        from ..utils.printing import print_iht_signature, print_parameters
+        print_iht_signature(io)
+        print_parameters(io, k, "mvnormal", "identity", False, None, debias,
+                         tol, max_iter, min_iter)
     t0 = _time.time()
     cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
     st, Sigma_b, pve_b = fit_mv_fused(op, data, cfg, jnp.asarray([int(k)]),
@@ -536,7 +541,9 @@ def fit_mv_iht(y, x, z=None, k=10, d=None, l=None, verbose=True, tol=1e-4,
         beta=np.asarray(B_h), c=np.asarray(C_h), k=int(k), traits=r,
         Sigma=np.asarray(Sigma_h), sigma_g=np.asarray(sg_h))
     if verbose:
-        print(result, file=io) if io is not None else print(result)
+        # the result block goes to stdout; callers that tee to a file append
+        # it themselves (reference wrapper.jl:85 `show(io, result)`)
+        print(result)
     return result
 
 

@@ -301,6 +301,14 @@ def fit_fused(op, data: FitData, cfg: FitConfig, ks, cv_wts,
     return st, sigma_g
 
 
+def _sparse_extract(st: IHTState, sigma_g):
+    """On-device sparse result pieces: ~S floats instead of the (B, p) beta."""
+    full = jnp.concatenate([st.b, st.c], axis=1)
+    sel_bc = jnp.take_along_axis(full, st.sel_idx, axis=1) * st.sel_valid
+    return (st.sel_idx, st.sel_valid, sel_bc, st.c, st.best_logl, st.iters,
+            st.failed, sigma_g)
+
+
 @partial(jax.jit, static_argnames=("cfg", "init_beta"))
 def fit_fused_sparse(op, data: FitData, cfg: FitConfig, ks, cv_wts,
                      init_beta: bool = False):
@@ -311,10 +319,31 @@ def fit_fused_sparse(op, data: FitData, cfg: FitConfig, ks, cv_wts,
     (potentially high-latency) device link. sel_idx indexes the concatenated
     [b; c] vector; sel_bc carries its values."""
     st, sigma_g = fit_fused(op, data, cfg, ks, cv_wts, init_beta=init_beta)
-    full = jnp.concatenate([st.b, st.c], axis=1)
-    sel_bc = jnp.take_along_axis(full, st.sel_idx, axis=1) * st.sel_valid
-    return (st.sel_idx, st.sel_valid, sel_bc, st.c, st.best_logl, st.iters,
-            st.failed, sigma_g)
+    return _sparse_extract(st, sigma_g)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def finalize_sparse(op, data: FitData, cfg: FitConfig, st: IHTState):
+    """finalize + pve + sparse extraction, for segmented (verbose/teed or
+    checkpointed) runs that stepped the solver with run_segment."""
+    from .pve import pve as _pve
+
+    st = finalize_iht(op, data, cfg, st)
+    sigma_g = jax.vmap(lambda mu: _pve(data.y, mu, data.sample_mask,
+                                       data.n_true))(st.mu)
+    return _sparse_extract(st, sigma_g)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def progress_stats(cfg: FitConfig, st: IHTState):
+    """(logl, backtracks, scaled_norm, any_active) for the per-iteration
+    progress line (reference fit.jl:194-196 `Iteration $iter: ...`)."""
+    db = jnp.max(jnp.abs(st.b - st.b0), axis=1)
+    dc = jnp.max(jnp.abs(st.c - st.c0), axis=1)
+    the_norm = jnp.maximum(db, dc)
+    denom = jnp.maximum(jnp.max(jnp.abs(st.b0), axis=1),
+                        jnp.max(jnp.abs(st.c0), axis=1)) + 1.0
+    return st.logl, st.backtracks, the_norm / denom, jnp.any(st.active)
 
 
 @partial(jax.jit, static_argnames=("cfg", "init_beta"))

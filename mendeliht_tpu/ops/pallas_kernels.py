@@ -52,10 +52,21 @@ from jax.experimental import pallas as pl
 
 # tile sizes: TP SNP rows x TW packed int32 words (= 4*TW bytes, 16*TW crumbs)
 _TP = 1024
-_TW = 256
+# words-block VMEM budget: prefer covering the WHOLE sample axis in one
+# reduction tile (grid j == 1) — measured 309 GB/s vs 255 at tw=256 on v5e
+# (fewer tile revisits => better DMA pipelining); fall back to fixed tw only
+# when tp*nw*4 would blow VMEM (n > ~131k samples at tp=1024).
+_TW_BYTES_BUDGET = 8 * 2**20
+_TW_FALLBACK = 2048
 # max (2*m) rhs columns handled per kernel launch; above this the rhs is
 # chunked so the (16, m2, tw) rhs block stays comfortably inside VMEM
 _M2_CHUNK = 512
+
+
+def _pick_tw(nw: int, tp: int) -> int:
+    if nw * tp * 4 <= _TW_BYTES_BUDGET:
+        return nw
+    return _TW_FALLBACK
 
 
 def _cdiv(a, b):
@@ -76,8 +87,15 @@ def _split_hi_lo_rows(rhsT):
                             lo.astype(jnp.bfloat16)], axis=1)
 
 
-def _kernel(words_ref, rhs_ref, a_ref, m_ref, s_ref, *, want_missing,
-            want_sq, interpret=False):
+def _kernel(words_ref, rhs_ref, *out_refs, want_missing, want_sq,
+            interpret=False):
+    # out_refs holds exactly the requested planes, in order [A, M?, S?] —
+    # allocating all three unconditionally costs ~1.5x bandwidth when only A
+    # is wanted (the single-fit hot path).
+    it = iter(out_refs)
+    a_ref = next(it)
+    m_ref = next(it) if want_missing else None
+    s_ref = next(it) if want_sq else None
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -122,8 +140,8 @@ def _kernel(words_ref, rhs_ref, a_ref, m_ref, s_ref, *, want_missing,
         s_ref[:] = acc_s
 
 
-def _xt_dots_chunk(words, rounds_bf16, *, want_missing, want_sq, tp=_TP,
-                   tw=_TW, interpret=False):
+def _xt_dots_chunk(words, rounds_bf16, *, want_missing, want_sq, tp, tw,
+                   interpret=False):
     """words (p, nw) int32, rounds_bf16 (16, M2, nw_pad) bf16 with
     nw_pad = ceil(nw/tw)*tw and zero tail -> (A, M, S) each (M2, p) f32.
 
@@ -146,19 +164,23 @@ def _xt_dots_chunk(words, rounds_bf16, *, want_missing, want_sq, tp=_TP,
         transcendentals=0)
     kern = functools.partial(_kernel, want_missing=want_missing,
                              want_sq=want_sq)
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
-        out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((m2, p), jnp.float32),) * 3,
+        out_specs=(out_spec,) * n_out,
+        out_shape=(jax.ShapeDtypeStruct((m2, p), jnp.float32),) * n_out,
         cost_estimate=cost,
         interpret=interpret,
     )(words, rounds_bf16)
+    it = iter(outs)
+    return (next(it),
+            next(it) if want_missing else None,
+            next(it) if want_sq else None)
 
 
 @functools.partial(jax.jit, static_argnames=("want_missing", "want_sq", "tp",
                                              "tw", "interpret"))
 def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
-                  want_sq: bool = False, tp: int = _TP, tw: int = _TW,
+                  want_sq: bool = False, tp: int = _TP, tw: int | None = None,
                   interpret: bool = False):
     """Fused decode + multi-RHS dots over the canonical int32-word storage.
 
@@ -174,6 +196,8 @@ def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
     Only the small (16, m, nw) rhs planes are padded/transposed per call."""
     p, nw = words.shape
     m = rhs.shape[1]
+    if tw is None:
+        tw = _pick_tw(nw, tp)
     nw_pad = _cdiv(nw, tw) * tw
     # round r = (s = r%4, b = r//4) plane: element w = sample s*n4 + 4w + b,
     # so planes are ordered [b, s] -> flat index 4b + s == r
@@ -193,7 +217,8 @@ def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
                            want_sq=want_sq, tp=tp, tw=tw, interpret=interpret)
         c = hi - lo
         for k in range(3):
-            outs[k].append(o[k][:c] + o[k][c:2 * c])       # merge hi+lo rows
+            if o[k] is not None:
+                outs[k].append(o[k][:c] + o[k][c:2 * c])   # merge hi+lo rows
 
     def merge(parts):
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
@@ -206,7 +231,7 @@ def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
 
 
 def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
-            want_sq: bool = False, tp: int = _TP, tw: int = _TW,
+            want_sq: bool = False, tp: int = _TP, tw: int | None = None,
             interpret: bool = False):
     """Byte-view wrapper with the decode.xt_dots contract (tests/oracles).
 

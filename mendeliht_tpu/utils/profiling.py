@@ -45,55 +45,84 @@ def trace(logdir: str = "/tmp/mendeliht_trace"):
         jax.profiler.stop_trace()
 
 
-def kernel_roofline(geno, m: int = 1, iters: int = 10, want_missing=None):
+def stream_bandwidth(geno, iters: int = 10) -> float:
+    """Measured achievable HBM read bandwidth (bytes/s) on THIS chip: a plain
+    reduction over the packed words — reads every byte once, negligible
+    compute.  This is the honest roofline denominator; nominal spec sheets
+    (e.g. 820 GB/s for v5e) are not always achieved by a single core."""
+    words = geno.words
+
+    @jax.jit
+    def loop(w, s0):
+        def body(c, _):
+            s = jnp.sum(w, dtype=jnp.int32)
+            return c + s, ()
+        c, _ = jax.lax.scan(body, s0, None, length=iters)
+        return c
+
+    # NOTE: on remote backends (axon) jax.block_until_ready does NOT wait for
+    # execution — only a host fetch synchronizes.  Fetch a scalar to time.
+    np.asarray(loop(words, jnp.int32(0)))                            # compile
+    t0 = time.time()
+    np.asarray(loop(words, jnp.int32(1)))
+    dt = (time.time() - t0) / iters
+    return words.nbytes / dt
+
+
+def kernel_roofline(geno, m: int = 1, iters: int = 10, want_missing=None,
+                    measured_roof: float | None = None):
     """Achieved bandwidth of the X'R pass on `geno` (PackedGenotypes).
 
     Returns dict with ms/pass, effective GB/s over packed bytes, and the
-    fraction of the HBM roofline. Uses a data-dependent in-jit loop so results
-    are not distorted by dispatch overhead or execution caching."""
-    from ..ops.linalg import PackedOp, _use_pallas
+    fraction of both the nominal HBM roofline and the *measured* achievable
+    bandwidth (pass ``measured_roof`` from :func:`stream_bandwidth` to avoid
+    re-measuring). Uses a data-dependent in-jit loop so results are not
+    distorted by dispatch overhead or execution caching."""
+    from ..ops.linalg import _use_pallas
     from ..ops import decode
 
     if want_missing is None:
         want_missing = geno.has_missing
-    packed = geno.packed
     n_pad = geno.n_pad
-
-    if _use_pallas():
-        from ..ops import pallas_kernels as pk
-        kernel = pk.xt_dots
-    else:
-        kernel = decode.xt_dots
+    use_pallas = _use_pallas()
 
     import functools
 
     @functools.partial(jax.jit, static_argnames=("wm", "iters"))
-    def loop(packed, rhs0, wm, iters):
+    def loop(arr, rhs0, wm, iters):
         def body(r, _):
-            A, M, _ = kernel(packed, r, want_missing=wm)
+            if use_pallas:
+                from ..ops import pallas_kernels as pk
+                A, M, _ = pk.xt_dots_words(arr, r, want_missing=wm)
+            else:
+                A, M, _ = decode.xt_dots(arr, r, want_missing=wm)
             r2 = r * (1.0 + A[1, 0] * 1e-12) + A[0, 0] * 1e-6
             return r2, jnp.sum(A)
         _, outs = jax.lax.scan(body, rhs0, None, length=iters)
         return outs
 
+    arr = geno.words if use_pallas else geno.packed
+    nbytes = geno.words.nbytes
     rhs0 = jnp.ones((n_pad, m), jnp.float32)
-    # NOTE: on remote backends (axon) jax.block_until_ready does NOT wait for
-    # execution — only a host fetch synchronizes.  Fetch a scalar to time.
-    np.asarray(loop(packed, rhs0, want_missing, iters)[-1])          # compile
+    np.asarray(loop(arr, rhs0, want_missing, iters)[-1])             # compile
     rhs1 = rhs0 * (1.0 + 1e-7)
     t0 = time.time()
-    np.asarray(loop(packed, rhs1, want_missing, iters)[-1])
+    np.asarray(loop(arr, rhs1, want_missing, iters)[-1])
     dt = (time.time() - t0) / iters
-    bw = packed.nbytes / dt
+    bw = nbytes / dt
     roof = device_hbm_bandwidth()
-    return {
+    out = {
         "ms_per_pass": dt * 1e3,
         "packed_gbytes_per_s": bw / 1e9,
         "hbm_roofline_fraction": bw / roof,
         "rhs_columns": m,
         "want_missing": want_missing,
-        "backend": "pallas" if _use_pallas() else "xla",
+        "backend": "pallas" if use_pallas else "xla",
     }
+    if measured_roof:
+        out["measured_stream_gbytes_per_s"] = measured_roof / 1e9
+        out["measured_roofline_fraction"] = bw / measured_roof
+    return out
 
 
 def fit_report(y, x, z=None, **kwargs):

@@ -185,11 +185,15 @@ def iht(filename: str, k: int, d, phenotypes=6, covariates: str = "",
     l = glm.LogLink() if dist == "negativebinomial" else \
         glm.canonicallink(d if not isinstance(d, type) else d())
     verbose = kwargs.pop("verbose", True)
-    result = fit_iht(y, xmat, z, k=k, d=(d() if isinstance(d, type) else d),
-                     l=l, verbose=False, **kwargs)
-    _write_summary(summaryfile, result)
-    if verbose:
-        print(result)
+    # tee the signature, parameter banner and per-iteration progress lines
+    # into the summary file, then append the result block (reference
+    # wrapper.jl:83-92: fit_iht(..., io=io) + show(io, result))
+    with open(summaryfile, "w") as f:
+        result = fit_iht(y, xmat, z, k=k,
+                         d=(d() if isinstance(d, type) else d),
+                         l=l, verbose=verbose, io=f, **kwargs)
+        f.write(str(result))
+        f.write("\n")
     if mv:
         _write_beta(betafile, chrs, poss, ids, refs, alts, result.beta,
                     traits=result.traits)
@@ -222,6 +226,7 @@ def cross_validate(filename: str, d, path=None, phenotypes=6,
     dist = glm.dist_name(d)
     l = glm.LogLink() if dist == "negativebinomial" else \
         glm.canonicallink(d if not isinstance(d, type) else d())
+    kwargs.setdefault("show_progress", kwargs.get("verbose", True))
     mse = cv_iht(y, xmat, z, path=path, q=q,
                  d=(d() if isinstance(d, type) else d), l=l, **kwargs)
     with open(cv_summaryfile, "w") as f:

@@ -1,0 +1,100 @@
+"""Multi-host layer: 2 localhost CPU processes run the solver as ONE SPMD
+program over a (task, snp) mesh with host-sharded .bed ingest, and must
+reproduce the single-process fit exactly (VERDICT r1 #4; reference analog:
+Distributed.jl cv, reference src/cross_validation.jl:133-204)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import mendeliht_tpu as m
+from mendeliht_tpu.parallel import multihost as mh
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_shard_rows_padding():
+    p_pad, ranges = mh.shard_rows(10, 4)
+    assert p_pad == 12
+    assert ranges == [(0, 3), (3, 6), (6, 9), (9, 10)]
+    p_pad, ranges = mh.shard_rows(8, 2)
+    assert p_pad == 8 and ranges == [(0, 4), (4, 8)]
+
+
+def test_bed_dims(tmp_path, rng):
+    x, _ = m.simulate_random_snparray(str(tmp_path / "g.bed"), 37, 53, rng=rng)
+    y = rng.standard_normal(37)
+    m.make_bim_fam_files(x, y, str(tmp_path / "g"))
+    assert mh.bed_dims(str(tmp_path / "g")) == (37, 53)
+
+
+def test_scaling_metrics():
+    nnz = mh.nnz_throughput(10_000, 1_000_000, 5, 2.0)
+    assert nnz == 10_000 * 1_000_000 * 5 / 2.0
+    assert mh.scaling_efficiency(1e9, 1.8e9, 2) == pytest.approx(0.9)
+
+
+def test_two_process_fit_matches_single(tmp_path):
+    """Launch 2 CPU processes; each reads its own SNP shard; the SPMD fit
+    must equal the single-process fit (same support, near-identical beta —
+    the sharded psum changes the float reduction order)."""
+    rng = np.random.default_rng(20260820)  # fixed: test must not depend on
+    n, p, k = 200, 300, 4                  # suite-order-shared rng state
+    prefix = str(tmp_path / "mh")
+    x, _ = m.simulate_random_snparray(prefix + ".bed", n, p, rng=rng)
+    y, true_b, pos = m.simulate_random_response(x, k, m.Normal(), rng=rng)
+    np.savetxt(prefix + ".phen", y)
+    m.make_bim_fam_files(x, y, prefix)
+
+    # single-process oracle
+    r0 = m.fit_iht(y, x, k=k, max_iter=50, verbose=False)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.dirname(HERE)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs, outs = [], []
+    for pid in range(2):
+        out_json = str(tmp_path / f"out{pid}.json")
+        outs.append(out_json)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "multihost_worker.py"),
+             str(port), str(pid), prefix, str(k), out_json],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    results = []
+    for pr in procs:
+        try:
+            stdout, stderr = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert pr.returncode == 0, stderr.decode()[-2000:]
+    for out_json in outs:
+        with open(out_json) as f:
+            results.append(json.load(f))
+
+    # both processes see the same global result
+    assert results[0]["support"] == results[1]["support"]
+    assert results[0]["logl"] == pytest.approx(results[1]["logl"], abs=1e-6)
+    # and it matches the single-process fit
+    assert results[0]["support"] == np.flatnonzero(r0.beta).tolist()
+    np.testing.assert_allclose(results[0]["beta"],
+                               r0.beta[np.flatnonzero(r0.beta)], atol=1e-4)
+    np.testing.assert_allclose(results[0]["c"], r0.c, atol=1e-4)
+    assert results[0]["logl"] == pytest.approx(r0.logl, abs=1e-2)

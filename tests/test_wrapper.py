@@ -51,6 +51,21 @@ class TestPhenotypeSources:
 class TestCrossFormat:
     """PLINK == VCF ingestion oracle (reference test/wrapper_test.jl:184-206)."""
 
+    def test_summary_tee_verbose(self, in_tmp, capsys):
+        """verbose iht() tees the signature, parameter banner and per-
+        iteration progress lines into the summary file, followed by the
+        result block (reference wrapper.jl:83-92 + fit.jl:194-196)."""
+        m.iht(f"{REFDATA}/normal", 8, m.Normal, phenotypes=6, verbose=True)
+        text = open("iht.summary.txt").read()
+        assert "mendeliht_tpu" in text                      # signature banner
+        assert "Sparsity parameter (k) = 8" in text         # parameter banner
+        assert "Iteration 1: loglikelihood = " in text      # per-iteration tee
+        assert "backtracks = " in text and "tol = " in text
+        assert "IHT estimated 8 nonzero SNP predictors" in text  # result block
+        # per-iteration lines also stream to stdout (reference fit.jl:196)
+        out = capsys.readouterr().out
+        assert "Iteration 1: loglikelihood = " in out
+
     def test_plink_equals_vcf_genotypes(self):
         from mendeliht_tpu.utils.wrapper import parse_genotypes
         Xp, *_ = parse_genotypes(f"{REFDATA}/normal")

@@ -73,8 +73,8 @@ def _prepare_univariate(y, x, z, dtype):
     z_pad[:n] = z
     mask = np.zeros(n_pad)
     mask[:n] = 1.0
-    return op, jnp.asarray(y_pad, dtype), jnp.asarray(z_pad, dtype), \
-        jnp.asarray(mask, dtype)
+    # host arrays: build_fit packs them into ONE device transfer
+    return op, y_pad, z_pad, mask
 
 
 def build_fit(y, x, z=None, *, k=10, J=1, d=None, l=None, group=None,
@@ -130,16 +130,37 @@ def build_fit(y, x, z=None, *, k=10, J=1, d=None, l=None, group=None,
         if w.shape[0] != p + q:
             raise ValueError(f"weight must have length {p} or {p + q}")
     else:
-        w = np.ones(p + q)
+        # placeholder like `group`: data.weight is only read when
+        # cfg.has_weight (static) — don't ship a (p+q) ones array per fit
+        w = np.ones(1)
 
     if S is None:
         S = min(k_scalar + zkeepn + (q - zkeepn), p + q)
         S = max(S, 1)
 
+    # single host->device RPC for all per-sample arrays + one for the small
+    # aux vectors: on remote TPU links each transfer costs ~ms of latency and
+    # the per-fit host prep otherwise dominates warm small-fit wall time
+    np_dtype = np.dtype(dtype)
+    stack = np.concatenate([np.asarray(y_pad)[:, None],
+                            np.asarray(mask)[:, None],
+                            np.asarray(z_pad)], axis=1).astype(np_dtype)
+    dstack = jnp.asarray(stack)
+    y_d, mask_d, z_d = dstack[:, 0], dstack[:, 1], dstack[:, 2:]
+    # zkeep/group/group_ks/weight are all exactly representable in f32 here
+    # (bools, group ids, per-group ks, prior weights)
+    aux = np.concatenate([zkeep_arr.astype(np.float32),
+                          group_arr.astype(np.float32),
+                          gks.astype(np.float32),
+                          w.astype(np.float32)])
+    daux = jnp.asarray(aux)
+    o1, o2, o3 = q, q + group_arr.shape[0], q + group_arr.shape[0] + gks.shape[0]
     data = FitData(
-        y=y_pad, z=z_pad, zkeep=jnp.asarray(zkeep_arr),
-        weight=jnp.asarray(w, dtype), group=jnp.asarray(group_arr),
-        group_ks=jnp.asarray(gks), sample_mask=mask, n_true=op.n,
+        y=y_d, z=z_d, zkeep=daux[:o1].astype(bool),
+        weight=daux[o3:].astype(dtype),
+        group=daux[o1:o2].astype(jnp.int32),
+        group_ks=daux[o2:o3].astype(jnp.int32),
+        sample_mask=mask_d, n_true=op.n,
     )
     cfg = FitConfig(
         dist=dist, link=link, S=int(S), zkeepn=zkeepn, max_iter=int(max_iter),

@@ -50,16 +50,20 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _bytes_to_words(packed: np.ndarray) -> np.ndarray:
     """(p, n4) uint8 -> (p, n4//4) int32 little-endian view (zero-copy when
-    contiguous). Matches jax.lax.bitcast_convert_type byte order."""
+    contiguous). Matches jax.lax.bitcast_convert_type byte order (which is
+    little-endian on TPU): the explicit '<i4' dtype keeps the word layout
+    correct even on a big-endian host, where a native view would silently
+    scramble the kernel's shift map."""
     packed = np.ascontiguousarray(packed)
     p, n4 = packed.shape
-    return packed.view(np.int32).reshape(p, n4 // 4)
+    return packed.view(np.dtype("<i4")).reshape(p, n4 // 4)
 
 
 def _words_to_bytes(words: np.ndarray) -> np.ndarray:
     """Inverse host view: (p, nw) int32 -> (p, 4*nw) uint8 (zero-copy when
-    contiguous)."""
-    words = np.ascontiguousarray(words)
+    contiguous, little-endian byte order)."""
+    words = np.ascontiguousarray(
+        np.asarray(words).astype(np.dtype("<i4"), copy=False))
     p, nw = words.shape
     return words.view(np.uint8).reshape(p, 4 * nw)
 

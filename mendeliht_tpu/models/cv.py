@@ -110,6 +110,10 @@ def _cv_progress(op, data, cfg, ks, train, test, init_beta, step=5):
     from .univariate import run_segment, finalize_iht, predict_deviance
 
     B = int(ks.shape[0])
+    # \r-style live updates only on an interactive terminal; when stderr is
+    # redirected to a logfile emit plain lines instead (the reference's
+    # ProgressMeter degrades the same way, src/cross_validation.jl:95)
+    tty = getattr(sys.stderr, "isatty", lambda: False)()
     st = init_state(op, data, cfg, ks, jnp.asarray(train, op.dtype),
                     init_beta=init_beta)
     while True:
@@ -118,12 +122,16 @@ def _cv_progress(op, data, cfg, ks, train, test, init_beta, step=5):
             break
         st = run_segment(op, data, cfg, st, min(it + step, cfg.max_iter - 1))
         n_active = int(np.asarray(jnp.sum(st.active)))
-        print(f"\rCross-validating: iteration {int(st.iteration):4d}, "
-              f"{B - n_active}/{B} models converged", end="", file=sys.stderr,
-              flush=True)
+        msg = (f"Cross-validating: iteration {int(st.iteration):4d}, "
+               f"{B - n_active}/{B} models converged")
+        if tty:
+            print("\r" + msg, end="", file=sys.stderr, flush=True)
+        else:
+            print(msg, file=sys.stderr, flush=True)
         if n_active == 0:
             break
-    print(file=sys.stderr)
+    if tty:
+        print(file=sys.stderr)
     st = finalize_iht(op, data, cfg, st)
     return np.asarray(predict_deviance(op, data, cfg, st,
                                        jnp.asarray(test, op.dtype)))
@@ -165,6 +173,12 @@ def iht_run_many_models(y, x, z=None, d=None, l=None, path=None, est_r="none",
     """Fit every k in `path` on the full data (no holdout) and return the
     loglikelihoods (reference src/cross_validation.jl:232-277). All models run
     as one batch."""
+    if not parallel:
+        import warnings
+        warnings.warn(
+            "iht_run_many_models(parallel=False) is ignored: all path models "
+            "run as one batched TPU program (inherently parallel); there is "
+            "no serial mode.", stacklevel=2)
     d = d if d is not None else glm.Normal()
     path = list(path) if path is not None else list(range(1, 21))
     op, data, cfg, _ = build_fit(

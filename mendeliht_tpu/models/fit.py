@@ -147,19 +147,32 @@ def build_fit(y, x, z=None, *, k=10, J=1, d=None, l=None, group=None,
                             np.asarray(z_pad)], axis=1).astype(np_dtype)
     dstack = jnp.asarray(stack)
     y_d, mask_d, z_d = dstack[:, 0], dstack[:, 1], dstack[:, 2:]
-    # zkeep/group/group_ks/weight are all exactly representable in f32 here
-    # (bools, group ids, per-group ks, prior weights)
-    aux = np.concatenate([zkeep_arr.astype(np.float32),
-                          group_arr.astype(np.float32),
-                          gks.astype(np.float32),
-                          w.astype(np.float32)])
-    daux = jnp.asarray(aux)
-    o1, o2, o3 = q, q + group_arr.shape[0], q + group_arr.shape[0] + gks.shape[0]
+    if use_group or has_weight:
+        # real group ids / user weights ship in their native dtypes: f32
+        # packing would corrupt group ids >= 2^24 and silently truncate
+        # float64 weights (changing projection tie-breaks)
+        daux = jnp.asarray(zkeep_arr.astype(np.float32))
+        group_d = jnp.asarray(group_arr.astype(np.int32))
+        gks_d = jnp.asarray(gks.astype(np.int32))
+        w_d = jnp.asarray(w.astype(np_dtype))
+    else:
+        # placeholder case (the common path): zkeep bools plus the three
+        # size-1 placeholders are exactly representable in f32, so one
+        # packed transfer saves two host->device RPC round-trips
+        aux = np.concatenate([zkeep_arr.astype(np.float32),
+                              group_arr.astype(np.float32),
+                              gks.astype(np.float32),
+                              w.astype(np.float32)])
+        daux_all = jnp.asarray(aux)
+        o2 = q + group_arr.shape[0]
+        o3 = o2 + gks.shape[0]
+        daux = daux_all[:q]
+        group_d = daux_all[q:o2].astype(jnp.int32)
+        gks_d = daux_all[o2:o3].astype(jnp.int32)
+        w_d = daux_all[o3:].astype(dtype)
     data = FitData(
-        y=y_d, z=z_d, zkeep=daux[:o1].astype(bool),
-        weight=daux[o3:].astype(dtype),
-        group=daux[o1:o2].astype(jnp.int32),
-        group_ks=daux[o2:o3].astype(jnp.int32),
+        y=y_d, z=z_d, zkeep=daux.astype(bool),
+        weight=w_d, group=group_d, group_ks=gks_d,
         sample_mask=mask_d, n_true=op.n,
     )
     cfg = FitConfig(

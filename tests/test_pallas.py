@@ -51,7 +51,7 @@ def test_xt_dots_parity_planes(rng, want_missing, want_sq):
 def test_xt_dots_padding_and_chunking(rng, monkeypatch):
     """p not a multiple of tp, nw padded up to tw, and m large enough to
     split into several rhs chunks."""
-    monkeypatch.setattr(pk, "_M2_CHUNK", 8)          # force m-chunking (m=5)
+    monkeypatch.setattr(pk, "_FORCE_M_CHUNK", 2)     # force m-chunking (m=5)
     n, p, m = 130, 37, 5
     codes = _random_codes(rng, n, p)
     packed = jnp.asarray(pack_codes(codes))
@@ -66,9 +66,10 @@ def test_xt_dots_padding_and_chunking(rng, monkeypatch):
     assert np.max(np.abs(np.asarray(M1) - np.asarray(M0))) / scale < 2e-5
 
 
-def test_xt_dots_hi_lo_split_precision(rng):
-    """The hi/lo bf16 split must reach f32 accuracy (~1e-6 relative), far
-    beyond plain bf16 (~4e-3)."""
+def test_xt_dots_quantization_precision(rng):
+    """The 3-digit int8 quantization (21 significant bits per column) must
+    reach near-f32 accuracy even on an adversarial wide-dynamic-range rhs,
+    far beyond plain bf16 (~4e-3) or a single int8 plane (~1e-2)."""
     n, p = 512, 16
     codes = _random_codes(rng, n, p, missing=False)
     packed = jnp.asarray(pack_codes(codes))
@@ -82,6 +83,24 @@ def test_xt_dots_hi_lo_split_precision(rng):
                           tp=8, tw=128, interpret=True)
     scale = float(np.abs(np.asarray(A0)).max())
     assert np.max(np.abs(np.asarray(A1) - np.asarray(A0))) / scale < 2e-5
+
+
+def test_xt_dots_nan_propagation(rng):
+    """A NaN anywhere in an rhs column must poison that column's outputs
+    (quantization would otherwise turn a failed task's residual into finite
+    garbage and silently un-fail it)."""
+    n, p = 100, 20
+    codes = _random_codes(rng, n, p, missing=True)
+    packed = jnp.asarray(pack_codes(codes))
+    n4 = packed.shape[1]
+    rhs = np.asarray(rng.standard_normal((4 * n4, 3)), np.float32)
+    rhs[7, 1] = np.nan
+    A1, M1, S1 = pk.xt_dots(packed, jnp.asarray(rhs), want_missing=True,
+                            want_sq=True, tp=8, tw=128, interpret=True)
+    for out in (A1, M1, S1):
+        arr = np.asarray(out)
+        assert np.all(np.isnan(arr[:, 1]))
+        assert np.all(np.isfinite(arr[:, [0, 2]]))
 
 
 def test_standardized_xtr_through_operator(rng):

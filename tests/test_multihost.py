@@ -47,6 +47,31 @@ def test_scaling_metrics():
     assert mh.scaling_efficiency(1e9, 1.8e9, 2) == pytest.approx(0.9)
 
 
+def test_comm_model():
+    """Analytic per-iteration byte model (tools/scaling.py -> SCALING.json)."""
+    r1 = mh.comm_model(500_000, 1_000_000, B=100, n_task=1, n_snp=1)
+    # single shard: no collectives, local = whole packed matrix
+    assert r1["collective_bytes_per_iter"] == 0
+    n4 = -(-500_000 // 4)
+    n4 = -(-n4 // 128) * 128
+    assert r1["local_bytes_per_iter"] == pytest.approx(1_000_000 * n4)
+    assert r1["predicted_efficiency"] == pytest.approx(1.0)
+
+    r2 = mh.comm_model(500_000, 1_000_000, B=100, n_task=1, n_snp=2)
+    # local bytes halve; ring all-reduce moves 2*(ns-1)/ns of 2 psum payloads
+    assert r2["local_bytes_per_iter"] == pytest.approx(
+        r1["local_bytes_per_iter"] / 2)
+    assert r2["collective_bytes_per_iter"] == pytest.approx(
+        2 * 100 * 4 * n4 * 4)
+    assert 0.8 < r2["predicted_efficiency"] < 1.0
+
+    # sharding tasks over 'task' divides the psum payload per device
+    r3 = mh.comm_model(500_000, 1_000_000, B=100, n_task=4, n_snp=2)
+    assert r3["collective_bytes_per_iter"] == pytest.approx(
+        r2["collective_bytes_per_iter"] / 4)
+    assert r3["predicted_efficiency"] > r2["predicted_efficiency"]
+
+
 def test_two_process_fit_matches_single(tmp_path):
     """Launch 2 CPU processes; each reads its own SNP shard; the SPMD fit
     must equal the single-process fit (same support, near-identical beta —

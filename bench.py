@@ -200,9 +200,10 @@ def run_suite(g, y, causal, beta):
     Sigma = m.random_covariance_matrix(2, rng=rng)
     Ymv, _, _, _ = m.simulate_random_multivariate_response(
         xmv, 10, 2, Sigma=Sigma, rng=rng)
-    m.fit_iht(Ymv, xmv, k=10, d=m.MvNormal(), verbose=False)  # compile
+    Yt = np.ascontiguousarray(Ymv.T)        # traits are rows for fit_iht
+    m.fit_iht(Yt, xmv, k=10, d=m.MvNormal(), verbose=False)  # compile
     t0 = time.time()
-    m.fit_iht(Ymv, xmv, k=10, d=m.MvNormal(), verbose=False)
+    m.fit_iht(Yt, xmv, k=10, d=m.MvNormal(), verbose=False)
     add("mv_iht_fit_r2_n1k_p10k", time.time() - t0, None,
         note="reference commits only kernel micro-benchmarks for mIHT")
 

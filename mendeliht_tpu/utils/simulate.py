@@ -152,9 +152,11 @@ def random_covariance_matrix(n: int, kappa: float = 10.0, rng=None):
 
 
 def simulate_random_multivariate_response(x, k: int, traits: int, Zu=None,
-                                          overlap: int = 0, rng=None):
+                                          overlap: int = 0, Sigma=None,
+                                          rng=None):
     """Multi-trait Gaussian phenotypes with k causal SNPs total, `overlap`
     shared causal SNPs (reference src/simulate_utilities.jl:266-308).
+    `Sigma` optionally fixes the trait covariance instead of sampling one.
 
     Returns (Y (n, traits), Sigma, true_b (p, traits), correct_position)."""
     rng = np.random.default_rng() if rng is None else rng
@@ -184,7 +186,10 @@ def simulate_random_multivariate_response(x, k: int, traits: int, Zu=None,
         true_b = tb.reshape(p, traits, order="F")
     correct_position = np.argwhere(true_b != 0)
 
-    Sigma = random_covariance_matrix(traits, rng=rng)
+    if Sigma is None:
+        Sigma = random_covariance_matrix(traits, rng=rng)
+    else:
+        Sigma = np.asarray(Sigma, np.float64)
     mu = X @ true_b + Zu
     L = np.linalg.cholesky(Sigma)
     Y = mu + rng.standard_normal((n, traits)) @ L.T

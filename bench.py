@@ -29,47 +29,51 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _gen_problem(rng):
-    """Simulate packed genotypes directly in the TPU layout + stats + y."""
+def _gen_problem(rng, n=None, p=None):
+    """Simulate packed genotypes directly in the TPU layout + stats + y.
+
+    Chunked over SNP rows so peak host memory stays ~1 chunk of temporaries
+    above the packed matrix itself (matters at n=50k x 1M: 12.5 GB packed)."""
     from mendeliht_tpu.genotype.snparray import _ceil_to, _LANE
 
-    n4 = _ceil_to(-(-N // 4), _LANE)
-    packed = rng.integers(0, 256, size=(P, n4), dtype=np.uint8)
-    # no-missing data, like the reference's benchmark simulations
-    # (simulate_random_snparray generates none): remap code 01 -> 00
-    for s in range(4):
-        lo_bit = (packed >> (2 * s)) & 1
-        hi_bit = (packed >> (2 * s + 1)) & 1
-        miss = lo_bit & (1 - hi_bit)
-        packed ^= (miss << (2 * s)).astype(np.uint8)
-    # zero out padding crumbs (samples >= N) so stats are exact:
-    # plane s covers samples s*n4 + b; require s*n4 + b < N
-    for s in range(4):
-        lo = s * n4
-        first_bad = max(0, min(n4, N - lo))
-        if first_bad < n4:
-            mask = np.uint8(0xFF ^ (0x3 << (2 * s)))
-            packed[:, first_bad:] &= mask
-
-    # per-SNP stats by chunked decode
-    n_het = np.zeros(P, np.int64)
-    n_alt = np.zeros(P, np.int64)
-    n_mis = np.zeros(P, np.int64)
+    n = N if n is None else n
+    p = P if p is None else p
+    n4 = _ceil_to(-(-n // 4), _LANE)
+    packed = np.empty((p, n4), dtype=np.uint8)
+    n_het = np.zeros(p, np.int64)
+    n_alt = np.zeros(p, np.int64)
+    n_mis = np.zeros(p, np.int64)
     chunk = 8192
-    for lo in range(0, P, chunk):
-        hi = min(lo + chunk, P)
-        blk = packed[lo:hi]
+    for lo in range(0, p, chunk):
+        hi = min(lo + chunk, p)
+        blk = rng.integers(0, 256, size=(hi - lo, n4), dtype=np.uint8)
+        # no-missing data, like the reference's benchmark simulations
+        # (simulate_random_snparray generates none): remap code 01 -> 00
+        for s in range(4):
+            lo_bit = (blk >> (2 * s)) & 1
+            hi_bit = (blk >> (2 * s + 1)) & 1
+            miss = lo_bit & (1 - hi_bit)
+            blk ^= (miss << (2 * s)).astype(np.uint8)
+        # zero out padding crumbs (samples >= n) so stats are exact:
+        # plane s covers samples s*n4 + b; require s*n4 + b < n
+        for s in range(4):
+            off = s * n4
+            first_bad = max(0, min(n4, n - off))
+            if first_bad < n4:
+                mask = np.uint8(0xFF ^ (0x3 << (2 * s)))
+                blk[:, first_bad:] &= mask
         for s in range(4):
             c = (blk >> (2 * s)) & 0x3
             n_het[lo:hi] += (c == 2).sum(axis=1)
             n_alt[lo:hi] += (c == 3).sum(axis=1)
             n_mis[lo:hi] += (c == 1).sum(axis=1)
-    n_obs = N - n_mis
+        packed[lo:hi] = blk
+    n_obs = n - n_mis
     mu = np.where(n_obs > 0, (n_het + 2.0 * n_alt) / np.maximum(n_obs, 1), 0.0)
     sd = np.sqrt(np.maximum(mu * (1.0 - mu / 2.0), 0.0))
     inv_sd = np.where(sd > 0, 1.0 / np.where(sd > 0, sd, 1.0), 0.0)
 
-    causal = rng.choice(P, size=K, replace=False)
+    causal = rng.choice(p, size=K, replace=False)
     beta = rng.standard_normal(K)
     return packed, mu, inv_sd, bool(n_mis.sum() > 0), causal, beta
 
@@ -143,11 +147,13 @@ def run_suite(g, y, causal, beta):
 
     rows = []
 
-    def add(metric, seconds, baseline_s, note="", **extra):
+    def add(metric, seconds, baseline_s, note="", baseline_kind="measured",
+            **extra):
         row = {"metric": metric, "value": round(seconds, 3), "unit": "s",
                "vs_baseline": (round(seconds / baseline_s, 6)
                                if baseline_s else None),
-               "baseline_s": baseline_s}
+               "baseline_s": baseline_s,
+               "baseline_kind": baseline_kind if baseline_s else None}
         if note:
             row["note"] = note
         row.update(extra)
@@ -180,7 +186,8 @@ def run_suite(g, y, causal, beta):
         t0 = time.time()
         res = m.fit_iht(yy, g, k=K, d=d, verbose=False, **kw)
         add(f"{name}_iht_fit_n10k_p1M", time.time() - t0,
-            round(base120k * 10_000 / 120_000, 1), note=note, iters=res.iter)
+            round(base120k * 10_000 / 120_000, 1), note=note,
+            baseline_kind="extrapolated", iters=res.iter)
 
     # --- cross-validation (BASELINE.md row 9: ~150 s) ----------------------
     rng = np.random.default_rng(11)
@@ -217,6 +224,90 @@ def run_suite(g, y, causal, beta):
     return rows
 
 
+def run_scale(n=50_000, p=1_000_000):
+    """Reference-scale rows (VERDICT r2 #7): n=50k x 1M is the largest shape
+    with a committed same-scale reference baseline that fits one v5e HBM
+    (12.5 GB packed < 16 GB; the reference's 120k rows are 30 GB packed).
+
+    Rows: Gaussian vs the committed 1266 s mean (BASELINE.md row 4,
+    figures/benchmark/normal_results_nodebias/50000_by_1000000_run*), and
+    logistic vs a flagged linear-in-n extrapolation of the committed 120k row
+    (no committed 50k logistic run exists).  Writes BENCH_SCALE.json."""
+    import jax
+    import jax.numpy as jnp
+    import mendeliht_tpu as m
+    from mendeliht_tpu.genotype.snparray import PackedGenotypes
+    from mendeliht_tpu.ops.linalg import make_operator
+
+    os.makedirs(CACHE, exist_ok=True)
+    fpk = os.path.join(CACHE, f"scale_{n}x{p}_packed.npy")
+    fst = os.path.join(CACHE, f"scale_{n}x{p}_stats.npz")
+    if os.path.isfile(fpk):
+        log("loading cached scale problem...")
+        packed = np.load(fpk, mmap_mode="r")
+        d = np.load(fst)
+        mu, inv_sd, causal, beta = d["mu"], d["inv_sd"], d["causal"], d["beta"]
+        has_missing = bool(d["has_missing"])
+    else:
+        log(f"simulating {n}x{p} problem (one-time, ~10 min)...")
+        rng = np.random.default_rng(50_2026)
+        packed, mu, inv_sd, has_missing, causal, beta = _gen_problem(
+            rng, n=n, p=p)
+        np.save(fpk, packed)
+        np.savez(fst, mu=mu, inv_sd=inv_sd, causal=causal, beta=beta,
+                 has_missing=has_missing)
+    g = PackedGenotypes.from_packed(np.ascontiguousarray(packed), mu, inv_sd,
+                                    n=n, p=p, has_missing=has_missing)
+    op = make_operator(g)
+    idx = jnp.asarray(causal[None, :])
+    coef = jnp.asarray(beta[None, :], jnp.float32)
+    xb = np.asarray(op.forward_sel(idx, coef, jnp.ones_like(coef)))[0][:n]
+    rows = []
+
+    def timed_fit(y, d, name, baseline_s, baseline_kind, note=""):
+        kw = {}
+        t0 = time.time()
+        res = m.fit_iht(y, g, k=K, d=d, verbose=False, **kw)
+        t_cold = time.time() - t0
+        t0 = time.time()
+        res = m.fit_iht(y, g, k=K, d=d, verbose=False, **kw)
+        t = time.time() - t0
+        row = {"metric": name, "value": round(t, 3), "unit": "s",
+               "vs_baseline": round(t / baseline_s, 6),
+               "baseline_s": baseline_s, "baseline_kind": baseline_kind,
+               "cold_s": round(t_cold, 3), "iters": res.iter}
+        if note:
+            row["note"] = note
+        rows.append(row)
+        log(f"[scale] {name}: {t:.3f}s warm / {t_cold:.1f}s cold "
+            f"(ref {baseline_s}s, {baseline_kind}) iters={res.iter}")
+        return res
+
+    y = xb + 1.0 + np.random.default_rng(7).standard_normal(n)
+    timed_fit(y, m.Normal(), f"gaussian_iht_fit_n{n//1000}k_p1M", 1266.0,
+              "measured",
+              note="ref committed 50k x 1M mean of 5 runs (BASELINE.md row 4)")
+
+    rng = np.random.default_rng(17)
+    mu_l = 1.0 / (1.0 + np.exp(-xb))
+    yl = rng.binomial(1, mu_l).astype(np.float64)
+    timed_fit(yl, m.Bernoulli(), f"logistic_iht_fit_n{n//1000}k_p1M",
+              round(5460.0 * n / 120_000, 1), "extrapolated",
+              note="ref committed only n=120k (5460 s/8 it); scaled linearly "
+                   "in n — one X'R pass per iteration is O(np)")
+
+    out = {"device": str(jax.devices()[0].device_kind),
+           "problem": {"n": n, "p": p,
+                       "packed_gbytes": round(packed.nbytes / 1e9, 2)},
+           "rows": rows}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_SCALE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    log("wrote", path)
+    print(json.dumps(rows[0]))
+
+
 def main():
     import jax
     cache_dir = os.path.join(CACHE, "xla")
@@ -224,6 +315,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     log("backend:", jax.default_backend(), jax.devices())
+
+    if "--scale" in sys.argv:
+        run_scale()
+        return
 
     import mendeliht_tpu as m
     g, y, causal, beta = load_problem()
@@ -239,8 +334,17 @@ def main():
         res = m.fit_iht(y, g, k=K, d=m.Normal(), verbose=False)
         return time.time() - t0, res
 
+    # split the cold cost into its real parts (VERDICT r2 #3: the 350 s
+    # "cold compile" was never decomposed): the 2.5 GB host->device words
+    # transfer (tunnel-bandwidth bound on remote TPUs), then XLA+Mosaic
+    # compile + first execution
+    t0 = time.time()
+    jax.block_until_ready(g.words)
+    t_transfer = time.time() - t0
+    log(f"words transfer flush ({g.words.nbytes/1e9:.1f} GB): {t_transfer:.2f}s")
     t_cold, res = run()
-    log(f"cold fit: {t_cold:.2f}s iters={res.iter} logl={res.logl:.1f}")
+    log(f"cold fit (compile + first exec): {t_cold:.2f}s iters={res.iter} "
+        f"logl={res.logl:.1f}")
     t_warm, res = run()
     log(f"warm fit: {t_warm:.2f}s iters={res.iter} logl={res.logl:.1f}")
     found = set(np.flatnonzero(res.beta))
@@ -253,6 +357,8 @@ def main():
         "value": round(t_warm, 3),
         "unit": "s",
         "vs_baseline": round(t_warm / BASELINE_SECONDS, 5),
+        "cold_s": round(t_cold, 3),
+        "transfer_s": round(t_transfer, 3),
     }))
 
 

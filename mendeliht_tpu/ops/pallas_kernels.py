@@ -52,9 +52,12 @@ the single-fit m=1..2 case.
 
 The multi-RHS design is the point: cross-validation batches (m = q*|path|
 tasks) and multivariate traits ride the `m` axis, so the decode cost is paid
-once for the whole batch; large m is processed in chunks sized from an
-explicit VMEM byte budget (words + rhs double-buffers + int32 accumulators
-+ output tiles) so no shape can blow VMEM at compile time.
+once for the whole batch.  The full digit planes for an m-chunk are
+VMEM-RESIDENT (constant block index, fetched once) and each grid step slices
+its reduction window out of them, so the words are the only O(p) HBM
+traffic; (tw, mc) are picked jointly from an explicit VMEM byte budget to
+minimize full passes over the words (a reference-shaped cv batch m = 100
+fits ONE chunk) — no shape can blow VMEM at compile time.
 """
 
 from __future__ import annotations
@@ -68,12 +71,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 # tile sizes: TP SNP rows x TW packed int32 words (= 4*TW bytes, 16*TW crumbs)
 _TP = 1024
-# words-block budget: prefer covering the WHOLE sample axis in one reduction
-# tile (grid j == 1, so the rhs planes stay VMEM-resident across the whole
-# kernel); fall back to a fixed tw only when tp*nw*4 would blow VMEM
-# (n > ~131k samples at tp=1024).
-_TW_BYTES_BUDGET = 8 * 2**20
-_TW_FALLBACK = 2048
 # total VMEM working-set target (v5e has ~16 MiB/core; tp=2048 at m=64,
 # ~16.4 MiB with double-buffering, is an empirically confirmed Mosaic
 # compile failure — keep headroom)
@@ -82,24 +79,37 @@ _VMEM_BUDGET = 12 * 2**20
 _FORCE_M_CHUNK = None
 
 
-def _pick_tw(nw: int, tp: int) -> int:
-    if nw * tp * 4 <= _TW_BYTES_BUDGET:
-        return nw
-    return _TW_FALLBACK
+def _pick_tiles(nw: int, tp: int, m: int, n_acc: int):
+    """Joint (tw, mc) choice minimizing full HBM passes over the words.
 
-
-def _pick_m_chunk(tp: int, tw: int, n_acc: int) -> int:
-    """Largest rhs-column chunk whose working set fits the VMEM budget.
-
-    Accounts for (ADVICE r2 #1): double-buffered words tile, double-buffered
-    (16, 3*mc, tw) int8 rhs planes, n_acc int32 accumulator groups of
-    (3*mc, tp), and up to n_acc f32 output tiles of (mc, tp)."""
+    The rhs digit planes for a whole m-chunk stay VMEM-RESIDENT for the
+    entire kernel (constant block index — fetched once, single-buffered),
+    and each grid step slices its tw-word window out of them, so shrinking
+    tw costs no extra rhs traffic.  Every m-chunk beyond the first re-reads
+    the full packed matrix from HBM, so the picker prefers the fewest
+    chunks, then the largest reduction tile.  VMEM accounting per chunk:
+    double-buffered (tp, tw) words, resident (16, 3*mc, nw_pad) int8 rhs,
+    n_acc int32 accumulators (3*mc, tp), and n_acc revolving f32 output
+    tiles (mc, tp) (ADVICE r2 #1: budget from bytes, never a fixed cap)."""
+    best = None
+    for tw in sorted({min(nw, t) for t in (nw, 2048, 1024, 512, 256, 128)},
+                     reverse=True):
+        nw_pad = _cdiv(nw, tw) * tw
+        fixed = 2 * tp * tw * 4
+        per_mc = 16 * 3 * nw_pad + n_acc * (3 * tp * 4 + 2 * tp * 4)
+        mc = min((_VMEM_BUDGET - fixed) // per_mc, 256)
+        if mc < 1:
+            continue
+        mc = int(min(mc, m))
+        cand = (_cdiv(m, mc), -tw, mc)
+        if best is None or cand < best:
+            best = cand
+    if best is None:  # pathological shapes: smallest tiles, let Mosaic try
+        return 128, 8
+    chunks, neg_tw, mc = best
     if _FORCE_M_CHUNK is not None:
-        return _FORCE_M_CHUNK
-    budget = _VMEM_BUDGET - 2 * tp * tw * 4
-    per_mc = 2 * 16 * 3 * tw + n_acc * 3 * tp * 4 + n_acc * tp * 4
-    mc = max(8, budget // per_mc)
-    return int(min(mc, 256))
+        mc = _FORCE_M_CHUNK
+    return -neg_tw, mc
 
 
 def _cdiv(a, b):
@@ -143,8 +153,12 @@ def _rounds_restride(planes, nw, tw):
     return r
 
 
-def _kernel(words_ref, rhs_ref, scale_ref, *refs, want_missing, want_sq):
-    """refs = out_refs [A, M?, S?] then scratch accs [a, m?, h?]."""
+def _kernel(words_ref, rhs_ref, scale_ref, *refs, want_missing, want_sq, tw):
+    """refs = out_refs [A, M?, S?] then scratch accs [a, m?, h?].
+
+    rhs_ref holds the FULL (16, 3mc, nw_pad) digit planes (constant block
+    index — VMEM-resident across the whole kernel); each grid step slices
+    its (3mc, tw) reduction window at j*tw."""
     n_out = 1 + int(want_missing) + int(want_sq)
     out_refs = refs[:n_out]
     acc_refs = refs[n_out:]
@@ -173,7 +187,7 @@ def _kernel(words_ref, rhs_ref, scale_ref, *refs, want_missing, want_sq):
     for r in range(16):                   # round r = (s, b): shift 2s + 8b
         shift = 2 * (r % 4) + 8 * (r // 4)
         val = ((w >> shift) & 0x3).astype(jnp.int8)      # (tp, tw)
-        rhs_r = rhs_ref[r]                               # (3mc, tw) int8
+        rhs_r = rhs_ref[r, :, pl.ds(j * tw, tw)]         # (3mc, tw) int8
         acc_a = acc_a + jax.lax.dot_general(
             rhs_r, val, dn, preferred_element_type=jnp.int32)
         if want_missing:
@@ -221,10 +235,13 @@ def _xt_dots_chunk(words, rounds_i8, scale, *, want_missing, want_sq, tp, tw,
     annihilated by the rhs zero padding."""
     p, nw = words.shape
     mc = rounds_i8.shape[1] // 3
+    nw_pad = rounds_i8.shape[2]
     grid = (_cdiv(p, tp), _cdiv(nw, tw))
     in_specs = [
         pl.BlockSpec((tp, tw), lambda i, j: (i, j)),
-        pl.BlockSpec((16, 3 * mc, tw), lambda i, j: (0, 0, j)),
+        # constant block index: the full digit planes are DMA'd once and stay
+        # VMEM-resident; the kernel slices its (3mc, tw) window per grid step
+        pl.BlockSpec((16, 3 * mc, nw_pad), lambda i, j: (0, 0, 0)),
         pl.BlockSpec((mc, 1), lambda i, j: (0, 0)),
     ]
     out_spec = pl.BlockSpec((mc, tp), lambda i, j: (0, i))
@@ -232,10 +249,10 @@ def _xt_dots_chunk(words, rounds_i8, scale, *, want_missing, want_sq, tp, tw,
     flops = 2 * p * 16 * nw * 3 * mc * n_out
     cost = pl.CostEstimate(
         flops=flops,
-        bytes_accessed=p * nw * 4 + 16 * nw * 3 * mc + p * mc * 4 * n_out,
+        bytes_accessed=p * nw * 4 + 16 * nw_pad * 3 * mc + p * mc * 4 * n_out,
         transcendentals=0)
     kern = functools.partial(_kernel, want_missing=want_missing,
-                             want_sq=want_sq)
+                             want_sq=want_sq, tw=tw)
     outs = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=(out_spec,) * n_out,
@@ -273,12 +290,12 @@ def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
     every output row so NaN propagates exactly like the f32 oracle."""
     p, nw = words.shape
     m = rhs.shape[1]
-    if tw is None:
-        tw = _pick_tw(nw, tp)
     n_acc = 1 + int(want_missing) + int(want_sq)
+    tw_pick, mc = _pick_tiles(nw, tp, m, n_acc)
+    if tw is None:
+        tw = tw_pick
     planes, scale = _quantize_rhs_planes(rhs)            # (3m, n_pad), (m,)
     nan_guard = (jnp.sum(rhs, axis=0) * 0.0).astype(jnp.float32)   # (m,)
-    mc = _pick_m_chunk(tp, tw, n_acc)
 
     outs = [[], [], []]
     for lo in range(0, m, mc):

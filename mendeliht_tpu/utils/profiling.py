@@ -45,6 +45,20 @@ def trace(logdir: str = "/tmp/mendeliht_trace"):
         jax.profiler.stop_trace()
 
 
+def fetch_rtt(reps: int = 5) -> float:
+    """Host<->device round-trip latency of one scalar fetch (seconds).
+
+    On remote (tunneled) TPU backends this is several ms; any timing that
+    ends in a synchronizing fetch carries one RTT, which the in-jit-loop
+    harnesses below subtract so per-iteration numbers aren't inflated."""
+    x = jnp.zeros((), jnp.float32)
+    np.asarray(x)  # ensure ready
+    t0 = time.time()
+    for _ in range(reps):
+        np.asarray(x)
+    return (time.time() - t0) / reps
+
+
 def stream_bandwidth(geno, iters: int = 10) -> float:
     """Measured achievable HBM read bandwidth (bytes/s) on THIS chip: a
     reduction over the packed words — reads every byte once, negligible
@@ -71,9 +85,10 @@ def stream_bandwidth(geno, iters: int = 10) -> float:
     # NOTE: on remote backends (axon) jax.block_until_ready does NOT wait for
     # execution — only a host fetch synchronizes.  Fetch a scalar to time.
     np.asarray(loop(words, jnp.int32(0)))                            # compile
+    rtt = fetch_rtt()
     t0 = time.time()
     np.asarray(loop(words, jnp.int32(1)))
-    dt = (time.time() - t0) / iters
+    dt = max(time.time() - t0 - rtt, 1e-9) / iters
     return words.nbytes / dt
 
 
@@ -113,10 +128,11 @@ def kernel_roofline(geno, m: int = 1, iters: int = 10, want_missing=None,
     nbytes = geno.words.nbytes
     rhs0 = jnp.ones((n_pad, m), jnp.float32)
     np.asarray(loop(arr, rhs0, want_missing, iters)[-1])             # compile
+    rtt = fetch_rtt()
     rhs1 = rhs0 * (1.0 + 1e-7)
     t0 = time.time()
     np.asarray(loop(arr, rhs1, want_missing, iters)[-1])
-    dt = (time.time() - t0) / iters
+    dt = max(time.time() - t0 - rtt, 1e-9) / iters
     bw = nbytes / dt
     roof = device_hbm_bandwidth()
     out = {

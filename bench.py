@@ -320,6 +320,7 @@ def main():
         run_scale()
         return
 
+    import jax.numpy as jnp
     import mendeliht_tpu as m
     g, y, causal, beta = load_problem()
     log(g)
@@ -339,7 +340,10 @@ def main():
     # transfer (tunnel-bandwidth bound on remote TPUs), then XLA+Mosaic
     # compile + first execution
     t0 = time.time()
-    jax.block_until_ready(g.words)
+    # NOTE: on remote (axon-tunnel) backends jax.block_until_ready does NOT
+    # wait for execution/transfers — only a host fetch synchronizes.  Fetch
+    # a scalar computed FROM the words so the 2.5 GB transfer must finish.
+    np.asarray(jnp.sum(g.words[0]))
     t_transfer = time.time() - t0
     log(f"words transfer flush ({g.words.nbytes/1e9:.1f} GB): {t_transfer:.2f}s")
     t_cold, res = run()

@@ -234,10 +234,8 @@ def run_scale(n=50_000, p=1_000_000):
     logistic vs a flagged linear-in-n extrapolation of the committed 120k row
     (no committed 50k logistic run exists).  Writes BENCH_SCALE.json."""
     import jax
-    import jax.numpy as jnp
     import mendeliht_tpu as m
     from mendeliht_tpu.genotype.snparray import PackedGenotypes
-    from mendeliht_tpu.ops.linalg import make_operator
 
     os.makedirs(CACHE, exist_ok=True)
     fpk = os.path.join(CACHE, f"scale_{n}x{p}_packed.npy")
@@ -256,12 +254,23 @@ def run_scale(n=50_000, p=1_000_000):
         np.save(fpk, packed)
         np.savez(fst, mu=mu, inv_sd=inv_sd, causal=causal, beta=beta,
                  has_missing=has_missing)
+    # xb for response simulation is computed on the HOST: an eager (op-by-op)
+    # device gather of k rows makes XLA relayout-copy the ENTIRE words array
+    # (11.9 GB at n=50k — with the 11.7 GB argument that exceeds v5e HBM).
+    # Inside the jitted fit program the gather uses the native layout, so the
+    # fit itself is unaffected.
+    n4 = packed.shape[1]
+    xb = np.zeros(n)
+    for j, b in zip(causal, beta):
+        row = np.asarray(packed[j])
+        vals = np.empty(4 * n4, np.float32)
+        for s in range(4):
+            c = (row >> (2 * s)) & 3
+            vals[s * n4:(s + 1) * n4] = np.where(c == 2, 1.0,
+                                                 np.where(c == 3, 2.0, 0.0))
+        xb += b * inv_sd[j] * (vals[:n] - mu[j])
     g = PackedGenotypes.from_packed(np.ascontiguousarray(packed), mu, inv_sd,
                                     n=n, p=p, has_missing=has_missing)
-    op = make_operator(g)
-    idx = jnp.asarray(causal[None, :])
-    coef = jnp.asarray(beta[None, :], jnp.float32)
-    xb = np.asarray(op.forward_sel(idx, coef, jnp.ones_like(coef)))[0][:n]
     rows = []
 
     def timed_fit(y, d, name, baseline_s, baseline_kind, note=""):

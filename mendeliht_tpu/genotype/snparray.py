@@ -40,7 +40,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_LANE = 128  # pad n4 to a lane multiple so decoded planes tile cleanly
+# Pad n4 (packed bytes per SNP) so the canonical int32-word view has a
+# 128-lane-aligned minor dimension (n4/4 % 128 == 0).  With 128-byte padding
+# only, shapes like n=50k give nw=3136 (24.5 lane tiles) and XLA inserts a
+# full relayout COPY of the words array into every program that gathers from
+# it — 11.9 GB at 50k x 1M, an HBM OOM.  512-byte alignment makes the
+# transferred layout bit-identical to the compute layout for every n.
+_LANE = 512
 _CHUNK_P = 1024  # host-side repack chunk
 
 

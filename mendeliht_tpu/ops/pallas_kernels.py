@@ -22,17 +22,19 @@ values {0,1,2} are int8-exact, and the rhs is quantized to three int8
 scale = max|r| / 2^20 and every digit in [-64, 64].  The dots accumulate
 exactly in int32 (|acc| <= 2*64*n < 2^31 up to n = 160M samples) and one
 f32 digit-combine per output tile reconstructs the value.  Why it wins on
-both ends of the m axis (all judge-verified v5e numbers, 10k x 1M problem,
-tools/kernel_probe.py):
+both ends of the m axis (committed v5e numbers: ROOFLINE.json, regenerated
+by tools/roofline.py on the 10k x 1M problem):
 
   * m = 1 (single fit, VPU-decode-bound): 3 int8 rows replace 2 bf16 rows
-    and int8 converts are cheaper than bf16 converts — 9.5 ms -> 7.5 ms
-    (342 GB/s = ~75% of the 453 GB/s measured stream ceiling; a pure
-    XOR-read of the same array runs 5.7 ms, so decode adds only ~1.9 ms).
-  * m = 64 (cross-validation batches, MXU-bound): 3m int8 rows at the MXU's
-    394 TOPS int8 rate beat 2m bf16 rows at 197 TFLOP/s — 17.0 -> 13.2 ms,
-    ~74% of the int8 MXU roofline (the kernel is genuinely compute-bound
-    here; bytes/s is the wrong lens — see tools/roofline.py analysis).
+    and int8 converts are cheaper than bf16 converts — 9.5 ms -> 7.7 ms
+    (331 GB/s = 78.7% of the ~420 GB/s measured stream ceiling; a pure
+    XOR-read of the same array runs 5.9 ms, so decode adds only ~1.8 ms).
+  * m >= ~32 (cross-validation batches, MXU-bound): 3m int8 rows at the
+    MXU's 394 TOPS int8 rate beat 2m bf16 rows at 197 TFLOP/s — m=64:
+    17.0 -> 13.8 ms, 72% of the int8-MXU compute floor (bytes/s is the
+    wrong lens here — see the dma/mxu floor fields in ROOFLINE.json), and
+    a reference-shaped cv batch (m = 100 = q*|path|) runs in ONE words
+    pass (21.6 ms) thanks to the VMEM-resident rhs planes.
 
 Accuracy: 21 significant bits relative to each column's max — measured
 ~5e-6 relative error on the full X'R pass, comparable to the previous bf16

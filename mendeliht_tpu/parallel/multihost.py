@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import make_mesh
-from ..genotype.snparray import PackedGenotypes, _ceil_to
+from ..genotype.snparray import PackedGenotypes, _ceil_to, _LANE
 
 
 def initialize(coordinator_address: str | None = None,
@@ -109,7 +109,7 @@ def load_bed_shard(prefix: str, mesh: Mesh, dtype=jnp.float32,
     ns = int(mesh.shape["snp"])
     p_pad, ranges = shard_rows(p, ns)
     per = p_pad // ns
-    n4 = _ceil_to(bpr, 128)
+    n4 = _ceil_to(bpr, _LANE)
     nw = n4 // 4
     np_dtype = np.dtype(dtype)
 
@@ -208,7 +208,7 @@ def comm_model(n: int, p: int, B: int = 1, n_task: int = 1, n_snp: int = 1,
     interconnect assumption — a conservative single-ICI-link figure.  The
     predicted efficiency assumes no compute/comm overlap (pessimistic: XLA
     overlaps the psums with the next tile's decode when it can)."""
-    n4 = _ceil_to(-(-n // 4), 128)
+    n4 = _ceil_to(-(-n // 4), _LANE)
     n_pad = 4 * n4
     local_bytes = (p / max(n_snp, 1)) * n4          # packed words per shard
     psums = 2.0 + backtracks_per_iter

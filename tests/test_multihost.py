@@ -52,8 +52,8 @@ def test_comm_model():
     r1 = mh.comm_model(500_000, 1_000_000, B=100, n_task=1, n_snp=1)
     # single shard: no collectives, local = whole packed matrix
     assert r1["collective_bytes_per_iter"] == 0
-    n4 = -(-500_000 // 4)
-    n4 = -(-n4 // 128) * 128
+    from mendeliht_tpu.genotype.snparray import _ceil_to, _LANE
+    n4 = _ceil_to(-(-500_000 // 4), _LANE)
     assert r1["local_bytes_per_iter"] == pytest.approx(1_000_000 * n4)
     assert r1["predicted_efficiency"] == pytest.approx(1.0)
 

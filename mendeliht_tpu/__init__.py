@@ -64,6 +64,7 @@ from .ops.glm import (
 from .genotype import (
     PackedGenotypes, SnpData, read_plink, write_plink_bed, maf, grm,
 )
+from .ops.streaming import HostStreamedGenotypes
 from .genotype.snparray import naive_impute
 from .compat import (
     loglikelihood, deviance, score, mle_for_r, initialize_beta,

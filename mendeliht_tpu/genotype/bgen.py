@@ -129,11 +129,10 @@ def read_bgen(path: str, sample_path: str | None = None):
             phased = raw[8 + ns]
             nbits = raw[9 + ns]
             body = raw[10 + ns:]
-            if phased:
-                raise NotImplementedError("phased BGEN probabilities unsupported")
             if min_pl != 2 or max_pl != 2:
                 raise NotImplementedError("only diploid BGEN supported")
-            # unphased diploid biallelic: 2 stored probs per sample (p11, p12)
+            # diploid biallelic: 2 stored values per sample — unphased:
+            # (p11, p12) genotype probs; phased: per-haplotype P(allele 1)
             if nbits in (8, 16, 32):
                 dt = {8: np.uint8, 16: "<u2", 32: "<u4"}[nbits]
                 vals = np.frombuffer(body, dt).astype(np.float64)
@@ -145,9 +144,13 @@ def read_bgen(path: str, sample_path: str | None = None):
                 bits = bits[:need].reshape(ns * 2, nbits)
                 weights = (2.0 ** np.arange(nbits))
                 vals = (bits * weights).sum(axis=1).reshape(ns, 2) / (2.0 ** nbits - 1)
-            p_aa = vals[:, 0]          # hom first-allele (REF REF)
-            p_ab = vals[:, 1]
-            dose_ref = 2 * p_aa + p_ab
+            if phased:
+                # E[count of first allele] = sum of per-haplotype P(allele 1)
+                dose_ref = vals[:, 0] + vals[:, 1]
+            else:
+                p_aa = vals[:, 0]      # hom first-allele (REF REF)
+                p_ab = vals[:, 1]
+                dose_ref = 2 * p_aa + p_ab
             d = 2.0 - dose_ref
             d[missing_mask] = np.nan
         G[:, v] = d

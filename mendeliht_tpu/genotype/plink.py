@@ -49,19 +49,14 @@ def _read_table(path: str, min_cols: int) -> list[list[str]]:
     return rows
 
 
-def read_plink(prefix: str, dtype=None) -> SnpData:
-    """Read `prefix`.bed/.bim/.fam into a :class:`SnpData`."""
-    import jax.numpy as jnp
-    dtype = dtype or jnp.float32
+def _bed_payload(prefix: str):
+    """Validate and read `prefix`.bed's raw payload. Returns (bed u8, n, p)."""
     bed_path, bim_path, fam_path = (prefix + s for s in (".bed", ".bim", ".fam"))
     for f in (bed_path, bim_path, fam_path):
         if not os.path.isfile(f):
             raise FileNotFoundError(f)
-
-    bim = _read_table(bim_path, 6)
-    fam = _read_table(fam_path, 5)
-    p, n = len(bim), len(fam)
-
+    p = sum(1 for l in open(bim_path) if l.strip())
+    n = sum(1 for l in open(fam_path) if l.strip())
     with open(bed_path, "rb") as f:
         magic = f.read(3)
         if magic != _BED_MAGIC:
@@ -70,6 +65,18 @@ def read_plink(prefix: str, dtype=None) -> SnpData:
     expected = p * (-(-n // 4))
     if payload.size != expected:
         raise ValueError(f"{bed_path}: payload {payload.size} bytes, expected {expected} for n={n}, p={p}")
+    return payload, n, p
+
+
+def read_plink(prefix: str, dtype=None) -> SnpData:
+    """Read `prefix`.bed/.bim/.fam into a :class:`SnpData`."""
+    import jax.numpy as jnp
+    dtype = dtype or jnp.float32
+    bim_path, fam_path = prefix + ".bim", prefix + ".fam"
+    payload, n, p = _bed_payload(prefix)
+    bim = _read_table(bim_path, 6)
+    fam = _read_table(fam_path, 5)
+    assert (len(bim), len(fam)) == (p, n)
 
     snparray = PackedGenotypes.from_bed_bytes(payload, n=n, p=p, dtype=dtype)
 

@@ -234,38 +234,14 @@ class PackedGenotypes:
         and gather per-SNP stats in the same pass (multithreaded C++ when
         available, chunked numpy otherwise).
         """
-        bpr = -(-n // 4)  # bytes per SNP row in .bed
-        bed = bed.reshape(p, bpr)
-        n4 = _ceil_to(bpr, _LANE)
-
-        from .. import native
-        res = native.repack_bed(bed, n, p, n4)
-        if res is not None:
-            packed, counts = res
-            n_het, n_alt, n_mis = counts[:, 0], counts[:, 1], counts[:, 2]
-        else:
-            packed = np.zeros((p, n4), dtype=np.uint8)
-            n_het = np.zeros(p, dtype=np.int64)
-            n_alt = np.zeros(p, dtype=np.int64)
-            n_mis = np.zeros(p, dtype=np.int64)
-            shifts = np.arange(4, dtype=np.uint8) * 2
-            for lo in range(0, p, _CHUNK_P):
-                hi = min(lo + _CHUNK_P, p)
-                chunk = bed[lo:hi]                               # (c, bpr)
-                # unpack: codes (c, bpr, 4) -> (c, 4*bpr) sample order
-                crumbs = (chunk[:, :, None] >> shifts[None, None, :]) & 0x3
-                codes = crumbs.reshape(hi - lo, 4 * bpr)[:, :n]
-                n_het[lo:hi] = (codes == 2).sum(axis=1)
-                n_alt[lo:hi] = (codes == 3).sum(axis=1)
-                n_mis[lo:hi] = (codes == 1).sum(axis=1)
-                packed[lo:hi] = pack_codes(codes, n4=n4)
-        mu, inv_sd, maf_ = _stats_from_counts(n - n_mis, n_het, n_alt)
+        packed, mu, inv_sd, has_missing, maf_, n_mis = _repack_bed_host(
+            bed, n, p)
         np_dtype = np.dtype(dtype)
         return cls(
             words=jnp.asarray(_bytes_to_words(packed)),
             mu=jnp.asarray(mu.astype(np_dtype)),
             inv_sd=jnp.asarray(inv_sd.astype(np_dtype)),
-            n=n, p=p, has_missing=bool(n_mis.sum() > 0),
+            n=n, p=p, has_missing=has_missing,
             maf_=maf_, n_missing=n_mis,
         )
 
@@ -288,6 +264,41 @@ class PackedGenotypes:
         inv = np.asarray(self.inv_sd, dtype=np.float64)[None, :]
         vals = np.where(np.isnan(vals), mu, vals)
         return ((vals - mu) * np.where(inv == 0, 1.0, inv)).astype(dtype)
+
+
+def _repack_bed_host(bed: np.ndarray, n: int, p: int):
+    """Repack a raw `.bed` payload to the crumb-transposed byte layout and
+    gather per-SNP stats, entirely on the host (multithreaded C++ when
+    available, chunked numpy otherwise).
+
+    Returns (packed (p, n4) u8, mu, inv_sd, has_missing, maf_, n_mis)."""
+    bpr = -(-n // 4)  # bytes per SNP row in .bed
+    bed = bed.reshape(p, bpr)
+    n4 = _ceil_to(bpr, _LANE)
+
+    from .. import native
+    res = native.repack_bed(bed, n, p, n4)
+    if res is not None:
+        packed, counts = res
+        n_het, n_alt, n_mis = counts[:, 0], counts[:, 1], counts[:, 2]
+    else:
+        packed = np.zeros((p, n4), dtype=np.uint8)
+        n_het = np.zeros(p, dtype=np.int64)
+        n_alt = np.zeros(p, dtype=np.int64)
+        n_mis = np.zeros(p, dtype=np.int64)
+        shifts = np.arange(4, dtype=np.uint8) * 2
+        for lo in range(0, p, _CHUNK_P):
+            hi = min(lo + _CHUNK_P, p)
+            chunk = bed[lo:hi]                               # (c, bpr)
+            # unpack: codes (c, bpr, 4) -> (c, 4*bpr) sample order
+            crumbs = (chunk[:, :, None] >> shifts[None, None, :]) & 0x3
+            codes = crumbs.reshape(hi - lo, 4 * bpr)[:, :n]
+            n_het[lo:hi] = (codes == 2).sum(axis=1)
+            n_alt[lo:hi] = (codes == 3).sum(axis=1)
+            n_mis[lo:hi] = (codes == 1).sum(axis=1)
+            packed[lo:hi] = pack_codes(codes, n4=n4)
+    mu, inv_sd, maf_ = _stats_from_counts(n - n_mis, n_het, n_alt)
+    return packed, mu, inv_sd, bool(n_mis.sum() > 0), maf_, n_mis
 
 
 def naive_impute(x: PackedGenotypes, destination: str | None = None):

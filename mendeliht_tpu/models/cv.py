@@ -83,7 +83,16 @@ def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
         test[i, :n] = folds == fold
 
     t0 = _time.time()
-    if checkpoint_dir is not None:
+    from ..ops.streaming import StreamedPackedOp
+    if isinstance(op, StreamedPackedOp):
+        # out-of-core matrix: host-stepped grid solve (every streamed X'R
+        # pass still serves the whole (fold, k) batch)
+        from .streamed import cv_fused_host
+        mses = np.asarray(cv_fused_host(op, data, cfg, ks,
+                                        jnp.asarray(train, op.dtype),
+                                        jnp.asarray(test, op.dtype),
+                                        init_beta=init_beta))
+    elif checkpoint_dir is not None:
         mses = _cv_checkpointed(op, data, cfg, ks, train, test, init_beta,
                                 checkpoint_dir, checkpoint_every, verbose)
     elif show_progress:

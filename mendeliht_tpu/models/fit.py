@@ -200,6 +200,12 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
     `models.mv`. ``memory_efficient`` is accepted for API parity (all code
     paths here are memory-efficient by construction)."""
     if is_multivariate(y):
+        from ..ops.streaming import HostStreamedGenotypes
+        if isinstance(x, HostStreamedGenotypes):
+            raise NotImplementedError(
+                "multivariate IHT on an out-of-core (streamed) matrix is not "
+                "supported — shard the SNP axis across chips instead "
+                "(mendeliht_tpu.parallel)")
         from .mv import fit_mv_iht
         return fit_mv_iht(y, x, z, k=k, d=d, verbose=verbose, tol=tol,
                           max_iter=max_iter, min_iter=min_iter,
@@ -238,7 +244,16 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
         k_task = k_scalar
     ks = jnp.asarray([k_task], jnp.int32)
     cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
-    if verbose and io is not None:
+    from ..ops.streaming import StreamedPackedOp
+    if isinstance(op, StreamedPackedOp):
+        # out-of-core matrix: host-stepped driver (the jitted while_loop
+        # cannot stream blocks from inside the trace); per-iteration lines
+        # still print via cfg.log_iters
+        from .streamed import fit_fused_sparse_host
+        sel_idx, sel_valid, sel_bc, c, logl, iters, failed, sg = \
+            fit_fused_sparse_host(op, data, cfg, ks, cv_wts,
+                                  init_beta=init_beta)
+    elif verbose and io is not None:
         # teed mode (reference fit.jl:194-196 writes the progress lines to
         # `io` AND stdout): step the solver one iteration at a time so the
         # host can write each line. `stop` is traced — no recompiles.

@@ -138,51 +138,66 @@ def _maybe_update_r(data, cfg, mu, nb_r, cv_wts):
 # one full iteration (save_prev -> one_step -> debias -> convergence)
 # ---------------------------------------------------------------------------
 
-def _iteration(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
+def _save_prev(st: IHTState) -> IHTState:
+    """save_prev (reference src/utilities.jl:702-712)."""
     act = st.active
-
-    # ---- save_prev (reference src/utilities.jl:702-712)
     improved = act & (st.logl > st.best_logl)
     best_b = _where_b(improved, st.b, st.best_b)
     best_c = _where_b(improved, st.c, st.best_c)
     best_logl = jnp.where(improved, st.logl, st.best_logl)
     b0 = _where_b(act, st.b, st.b0)
     c0 = _where_b(act, st.c, st.c0)
-    st = dataclasses.replace(st, b0=b0, c0=c0, best_b=best_b, best_c=best_c,
-                             best_logl=best_logl)
+    return dataclasses.replace(st, b0=b0, c0=c0, best_b=best_b, best_c=best_c,
+                               best_logl=best_logl)
+
+
+def _take_step(op, data: FitData, cfg: FitConfig, st: IHTState, eta_t):
+    """One projected gradient step + model refresh at stepsize eta_t
+    (the body of the backtracking line search, reference src/fit.jl:213-263)."""
+    b, c, sel_idx, sel_valid, idc = _gradstep(op, data, cfg, st, eta_t)
+    xb, zc = _forward(op, data, cfg, b, c, sel_idx, sel_valid)
+    mu = glm.linkinv(cfg.link, xb + zc)
+    nb_r = _maybe_update_r(data, cfg, mu, st.nb_r, st.cv_wts)
+    logl = _loglik(data, cfg, mu, st.cv_wts, nb_r)
+    return dict(b=b, c=c, sel_idx=sel_idx, sel_valid=sel_valid, idc=idc,
+                xb=xb, zc=zc, mu=mu, nb_r=nb_r, logl=logl)
+
+
+def _bt_need(act, old_logl, cur, n_bt, max_step):
+    return act & (old_logl > cur["logl"]) & (n_bt < max_step)
+
+
+def _iteration(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
+    act = st.active
+    st = _save_prev(st)
 
     # ---- one IHT step (reference src/fit.jl:213-263)
     eta = _stepsize(op, data, cfg, st)
     old_logl = st.logl
 
-    def take_step(eta_t):
-        b, c, sel_idx, sel_valid, idc = _gradstep(op, data, cfg, st, eta_t)
-        xb, zc = _forward(op, data, cfg, b, c, sel_idx, sel_valid)
-        mu = glm.linkinv(cfg.link, xb + zc)
-        nb_r = _maybe_update_r(data, cfg, mu, st.nb_r, st.cv_wts)
-        logl = _loglik(data, cfg, mu, st.cv_wts, nb_r)
-        return dict(b=b, c=c, sel_idx=sel_idx, sel_valid=sel_valid, idc=idc,
-                    xb=xb, zc=zc, mu=mu, nb_r=nb_r, logl=logl)
-
-    cur = take_step(eta)
+    cur = _take_step(op, data, cfg, st, eta)
     n_bt = jnp.zeros_like(eta, dtype=jnp.int32)
-
-    def _bt_need(carry):
-        cur, eta, n_bt = carry
-        return act & (old_logl > cur["logl"]) & (n_bt < cfg.max_step)
 
     def bt_body(carry):
         cur, eta, n_bt = carry
-        need = _bt_need(carry)
+        need = _bt_need(act, old_logl, cur, n_bt, cfg.max_step)
         eta2 = jnp.where(need, eta / 2, eta)
-        nxt = take_step(eta2)
+        nxt = _take_step(op, data, cfg, st, eta2)
         merged = {k: _where_b(need, nxt[k], cur[k]) for k in cur}
         return merged, eta2, n_bt + need.astype(jnp.int32)
 
     # early-exit: most iterations need no backtracking at all
     cur, eta, n_bt = jax.lax.while_loop(
-        lambda c: jnp.any(_bt_need(c)), bt_body, (cur, eta, n_bt))
+        lambda c: jnp.any(_bt_need(act, old_logl, c[0], c[2], cfg.max_step)),
+        bt_body, (cur, eta, n_bt))
 
+    return _post_step(op, data, cfg, st, cur, eta, n_bt)
+
+
+def _post_step(op, data: FitData, cfg: FitConfig, st: IHTState, cur, eta,
+               n_bt) -> IHTState:
+    """Accept the line-search result: score, NaN guard, debias, convergence."""
+    act = st.active
     new = dataclasses.replace(
         st,
         b=_where_b(act, cur["b"], st.b), c=_where_b(act, cur["c"], st.c),

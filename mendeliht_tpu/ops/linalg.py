@@ -223,6 +223,9 @@ def make_operator(x, dtype=jnp.float32):
         return x  # already an operator (incl. parallel.ShardedPackedOp)
     if isinstance(x, PackedGenotypes):
         return PackedOp(x)
+    from .streaming import HostStreamedGenotypes, StreamedPackedOp
+    if isinstance(x, HostStreamedGenotypes):
+        return StreamedPackedOp(x)
     if isinstance(x, (np.ndarray, jnp.ndarray)):
         return DenseOp(jnp.asarray(x, dtype=dtype))
     raise TypeError(f"unsupported design matrix type {type(x)}")

@@ -145,3 +145,39 @@ def test_bgen_zstd_layout2(tmp_path):
     np.testing.assert_allclose(G[:, 1], [2.0, 0.0, 1.0, 2 - 2 * pa - pb],
                                atol=1e-6)
     assert list(vids) == ["rs1", "rs2"] and list(alts) == ["G", "T"]
+
+
+def test_bgen_phased_layout2(tmp_path):
+    """Phased layout-2 BGEN: per-haplotype P(first allele); ALT dosage is
+    2 - (h1 + h2) (reference's BGEN.jl handles phased data the same way)."""
+    import struct
+    import numpy as np
+
+    from mendeliht_tpu.genotype.bgen import read_bgen
+
+    ns = 3
+    # haplotype P(REF): s0 (1,1) -> d=0; s1 (1,0) -> d=1; s2 (0,0) -> d=2
+    probs = [(255, 255), (255, 0), (0, 0)]
+
+    def vstr(s):
+        b = s.encode()
+        return struct.pack("<H", len(b)) + b
+
+    body = vstr("v1") + vstr("rs1") + vstr("1") + struct.pack("<I", 42)
+    body += struct.pack("<H", 2)
+    for a in ("A", "G"):
+        body += struct.pack("<I", 1) + a.encode()
+    ploidy = bytes([2] * ns)
+    raw = (struct.pack("<IH", ns, 2) + bytes([2, 2]) + ploidy
+           + bytes([1, 8]) + b"".join(bytes(p) for p in probs))
+    # compression flag 0: block is the raw payload, no dlen prefix
+    body += struct.pack("<I", len(raw)) + raw
+
+    flags = 0 | (2 << 2)                     # uncompressed, layout 2
+    header = struct.pack("<IIII4sI", 20, 20, 1, ns, b"bgen", flags)
+    path = str(tmp_path / "ph.bgen")
+    with open(path, "wb") as f:
+        f.write(header + body)
+
+    G, *_ = read_bgen(path)
+    np.testing.assert_allclose(G[:, 0], [0.0, 1.0, 2.0], atol=1e-6)

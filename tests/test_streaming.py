@@ -1,0 +1,123 @@
+"""Out-of-core (host-streamed) operator + host-stepped solver parity.
+
+The streamed path exists for packed matrices larger than one chip's HBM
+(reference analog: SnpArrays mmap, 62 GB virtual at UK Biobank scale,
+reference docs/src/man/FAQ.md:31-33).  Everything here checks exact
+algorithmic equivalence against the HBM-resident path on small problems,
+with block sizes forced tiny so every call really streams multiple blocks.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mendeliht_tpu as m
+from mendeliht_tpu.genotype.snparray import PackedGenotypes
+from mendeliht_tpu.ops.linalg import PackedOp, make_operator
+from mendeliht_tpu.ops.streaming import HostStreamedGenotypes, StreamedPackedOp
+
+
+def _problem(rng, n=150, p=90, missing=True):
+    probs = [0.45, 0.05, 0.3, 0.2] if missing else [0.5, 0.0, 0.3, 0.2]
+    codes = rng.choice(np.arange(4, dtype=np.uint8), size=(n, p), p=probs)
+    return PackedGenotypes.from_codes(codes)
+
+
+def _stream(g, block_bytes=256):
+    s = HostStreamedGenotypes.from_snparray(g, block_bytes=block_bytes)
+    assert s.block_p < s.p  # really multi-block
+    return s
+
+
+def test_streamed_ops_match_resident(rng):
+    g = _problem(rng)
+    sop = make_operator(_stream(g))
+    assert isinstance(sop, StreamedPackedOp)
+    rop = PackedOp(g)
+
+    R = jnp.asarray(rng.standard_normal((3, rop.n_pad)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(sop.xtr(R)), np.asarray(rop.xtr(R)),
+                               rtol=2e-5, atol=2e-5)
+
+    W = jnp.abs(R[:2])
+    WY = W * R[1:]
+    for a, b in zip(sop.col_moments(W, WY), rop.col_moments(W, WY)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    idx = jnp.asarray(rng.integers(0, rop.p, size=(3, 7)))
+    coef = jnp.asarray(rng.standard_normal((3, 7)), jnp.float32)
+    valid = jnp.asarray(rng.random((3, 7)) < 0.8, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(sop.forward_sel(idx, coef, valid)),
+        np.asarray(rop.forward_sel(idx, coef, valid)), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(sop.gather_cols(idx, valid.astype(bool))),
+        np.asarray(rop.gather_cols(idx, valid.astype(bool))),
+        rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("dist", ["normal", "logistic"])
+def test_streamed_fit_matches_resident(rng, dist):
+    g = _problem(rng, n=300, p=400, missing=False)
+    k = 5
+    if dist == "normal":
+        y, true_b, _ = m.simulate_random_response(g, k, m.Normal(), rng=rng)
+        d = m.Normal()
+    else:
+        y, true_b, _ = m.simulate_random_response(g, k, m.Bernoulli(), rng=rng)
+        d = m.Bernoulli()
+
+    r0 = m.fit_iht(y, g, k=k, d=d, max_iter=50, verbose=False)
+    r1 = m.fit_iht(y, _stream(g, block_bytes=4096), k=k, d=d, max_iter=50,
+                   verbose=False)
+    assert np.flatnonzero(r0.beta).tolist() == np.flatnonzero(r1.beta).tolist()
+    np.testing.assert_allclose(r1.beta, r0.beta, atol=5e-4)
+    np.testing.assert_allclose(r1.c, r0.c, atol=5e-4)
+    assert r1.logl == pytest.approx(r0.logl, abs=1e-2)
+    assert r1.iter == r0.iter
+
+
+def test_streamed_fit_debias_and_weights(rng):
+    """Streamed path supports the op-adjacent features: debias (gather_cols)
+    and prior weights (projection-side)."""
+    g = _problem(rng, n=250, p=120, missing=False)
+    y, true_b, _ = m.simulate_random_response(g, 4, m.Normal(), rng=rng)
+    w = np.ones(g.p)
+    r0 = m.fit_iht(y, g, k=4, debias=True, weight=w, max_iter=40,
+                   verbose=False)
+    r1 = m.fit_iht(y, _stream(g, block_bytes=2048), k=4, debias=True,
+                   weight=w, max_iter=40, verbose=False)
+    assert np.flatnonzero(r0.beta).tolist() == np.flatnonzero(r1.beta).tolist()
+    np.testing.assert_allclose(r1.beta, r0.beta, atol=1e-3)
+
+
+def test_streamed_cv_matches_resident(rng):
+    g = _problem(rng, n=200, p=150, missing=False)
+    y, true_b, _ = m.simulate_random_response(g, 4, m.Normal(), rng=rng)
+    path = range(1, 8)
+    mse0 = m.cv_iht(y, g, path=path, q=3, verbose=False,
+                    rng=np.random.default_rng(5))
+    mse1 = m.cv_iht(y, _stream(g, block_bytes=2048), path=path, q=3,
+                    verbose=False, rng=np.random.default_rng(5))
+    np.testing.assert_allclose(np.asarray(mse1), np.asarray(mse0), rtol=1e-4)
+
+
+def test_streamed_from_plink(tmp_path, rng):
+    x, _ = m.simulate_random_snparray(str(tmp_path / "s.bed"), 80, 60,
+                                      rng=rng)
+    y = rng.standard_normal(80)
+    m.make_bim_fam_files(x, y, str(tmp_path / "s"))
+    s = HostStreamedGenotypes.from_plink(str(tmp_path / "s"))
+    assert (s.n, s.p) == (80, 60)
+    g = m.read_plink(str(tmp_path / "s")).snparray
+    np.testing.assert_array_equal(s.words_np, np.asarray(g.words))
+    np.testing.assert_allclose(np.asarray(s.mu), np.asarray(g.mu), atol=1e-6)
+
+
+def test_streamed_mv_raises(rng):
+    g = _problem(rng, n=60, p=40, missing=False)
+    s = _stream(g)
+    Y = rng.standard_normal((2, 60))
+    with pytest.raises(NotImplementedError):
+        m.fit_iht(Y, s, k=3, d=m.MvNormal(), verbose=False)

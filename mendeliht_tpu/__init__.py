@@ -62,7 +62,8 @@ from .ops.glm import (
     CloglogLink, InverseSquareLink, canonicallink,
 )
 from .genotype import (
-    PackedGenotypes, SnpData, read_plink, write_plink_bed, maf, grm,
+    PackedGenotypes, SnpData, read_plink, write_plink_bed, merge_plink,
+    maf, grm,
 )
 from .ops.streaming import HostStreamedGenotypes
 from .genotype.snparray import naive_impute
@@ -91,7 +92,8 @@ __all__ = [
     "fit_iht", "cv_iht", "iht_run_many_models", "allocate_fold_and_k",
     "iht", "cross_validate",
     "IHTResult", "MIHTResult",
-    "PackedGenotypes", "SnpData", "read_plink", "write_plink_bed", "maf", "grm",
+    "PackedGenotypes", "SnpData", "read_plink", "write_plink_bed",
+    "merge_plink", "HostStreamedGenotypes", "maf", "grm",
     "Normal", "Bernoulli", "Poisson", "NegativeBinomial", "Gamma",
     "InverseGaussian", "MvNormal", "Binomial",
     "IdentityLink", "LogitLink", "LogLink", "InverseLink", "SqrtLink",

@@ -126,3 +126,48 @@ def write_plink_bed(path: str, codes: np.ndarray) -> None:
     with open(path, "wb") as f:
         f.write(_BED_MAGIC)
         f.write(payload.tobytes())
+
+
+def merge_plink(src, des: str = "merged", dtype=None) -> SnpData:
+    """Merge per-chromosome PLINK trios sharing the same samples into one
+    (SnpArrays.merge_plink analog, used by the reference's UK Biobank
+    pipeline: reference manuscript/UKBB_metabolomic/data_process.jl:21).
+
+    ``src``: a filename prefix (merges every ``{src}*.bed`` trio in sorted
+    order) or an explicit list of prefixes.  Writes ``des``.bed/.bim/.fam
+    and returns the merged :class:`SnpData`.  `.bed` is SNP-major with
+    ceil(n/4)-byte records, so merging is payload concatenation — no
+    decode/re-pack pass."""
+    import glob as _glob
+
+    if isinstance(src, str):
+        prefixes = sorted(f[:-4] for f in _glob.glob(src + "*.bed"))
+        if not prefixes:
+            raise FileNotFoundError(f"no {src}*.bed files to merge")
+    else:
+        prefixes = list(src)
+
+    payloads, bims = [], []
+    fam0 = None
+    n = None
+    for pref in prefixes:
+        payload, n_i, p_i = _bed_payload(pref)
+        fam = open(pref + ".fam").read()
+        if fam0 is None:
+            fam0, n = fam, n_i
+        elif n_i != n or fam != fam0:
+            raise ValueError(f"{pref}.fam does not match {prefixes[0]}.fam: "
+                             "merge requires identical samples in order")
+        payloads.append(payload)
+        bims.append(open(pref + ".bim").read())
+
+    with open(des + ".bed", "wb") as f:
+        f.write(_BED_MAGIC)
+        for payload in payloads:
+            f.write(payload.tobytes())
+    with open(des + ".bim", "w") as f:
+        for b in bims:
+            f.write(b if b.endswith("\n") or not b else b + "\n")
+    with open(des + ".fam", "w") as f:
+        f.write(fam0)
+    return read_plink(des, dtype=dtype)

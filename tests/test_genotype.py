@@ -181,3 +181,31 @@ def test_bgen_phased_layout2(tmp_path):
 
     G, *_ = read_bgen(path)
     np.testing.assert_allclose(G[:, 0], [0.0, 1.0, 2.0], atol=1e-6)
+
+
+def test_merge_plink(tmp_path, rng):
+    """merge_plink concatenates per-chromosome trios with identical samples
+    (reference: SnpArrays.merge_plink, manuscript UKBB pipeline)."""
+    import mendeliht_tpu as m
+
+    n = 30
+    y = rng.standard_normal(n)
+    parts = []
+    for c in (1, 2):
+        pref = str(tmp_path / f"chr{c}")
+        x, _ = m.simulate_random_snparray(pref + ".bed", n, 10 + 5 * c,
+                                          rng=rng)
+        m.make_bim_fam_files(x, y, pref)
+        parts.append(x.to_codes())
+
+    merged = m.merge_plink(str(tmp_path / "chr"), des=str(tmp_path / "all"))
+    assert (merged.people, merged.snps) == (n, 35)
+    np.testing.assert_array_equal(merged.snparray.to_codes(),
+                                  np.concatenate(parts, axis=1))
+    # mismatched samples must be rejected
+    pref3 = str(tmp_path / "other")
+    x3, _ = m.simulate_random_snparray(pref3 + ".bed", n + 4, 7, rng=rng)
+    m.make_bim_fam_files(x3, rng.standard_normal(n + 4), pref3)
+    with pytest.raises(ValueError):
+        m.merge_plink([str(tmp_path / "chr1"), pref3],
+                      des=str(tmp_path / "bad"))

@@ -82,14 +82,20 @@ def load_problem():
     import jax.numpy as jnp
     from mendeliht_tpu.genotype.snparray import PackedGenotypes
 
+    from mendeliht_tpu.genotype.snparray import _ceil_to, _LANE
+
     os.makedirs(CACHE, exist_ok=True)
-    f = os.path.join(CACHE, f"gauss_nm_{N}x{P}.npz")
+    # cache key includes the sample-axis alignment: a cache written under an
+    # older _LANE would silently reintroduce the relayout copy on load
+    f = os.path.join(CACHE, f"gauss_nm_{N}x{P}_L{_LANE}.npz")
     if os.path.isfile(f):
         log("loading cached benchmark problem...")
         d = np.load(f)
         packed, mu, inv_sd = d["packed"], d["mu"], d["inv_sd"]
         causal, beta, y = d["causal"], d["beta"], d["y"]
         has_missing = bool(d["has_missing"])
+        assert packed.shape[1] == _ceil_to(-(-N // 4), _LANE), \
+            "stale benchmark cache: delete .bench_cache and regenerate"
     else:
         log("simulating benchmark problem (one-time)...")
         rng = np.random.default_rng(2026)
@@ -237,12 +243,16 @@ def run_scale(n=50_000, p=1_000_000):
     import mendeliht_tpu as m
     from mendeliht_tpu.genotype.snparray import PackedGenotypes
 
+    from mendeliht_tpu.genotype.snparray import _ceil_to, _LANE
+
     os.makedirs(CACHE, exist_ok=True)
-    fpk = os.path.join(CACHE, f"scale_{n}x{p}_packed.npy")
-    fst = os.path.join(CACHE, f"scale_{n}x{p}_stats.npz")
+    fpk = os.path.join(CACHE, f"scale_{n}x{p}_L{_LANE}_packed.npy")
+    fst = os.path.join(CACHE, f"scale_{n}x{p}_L{_LANE}_stats.npz")
     if os.path.isfile(fpk):
         log("loading cached scale problem...")
         packed = np.load(fpk, mmap_mode="r")
+        assert packed.shape[1] == _ceil_to(-(-n // 4), _LANE), \
+            "stale benchmark cache: delete .bench_cache and regenerate"
         d = np.load(fst)
         mu, inv_sd, causal, beta = d["mu"], d["inv_sd"], d["causal"], d["beta"]
         has_missing = bool(d["has_missing"])

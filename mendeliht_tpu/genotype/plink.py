@@ -139,13 +139,24 @@ def merge_plink(src, des: str = "merged", dtype=None) -> SnpData:
     ceil(n/4)-byte records, so merging is payload concatenation — no
     decode/re-pack pass."""
     import glob as _glob
+    import re as _re
+
+    def _natural_key(prefix):
+        # chr2 must merge before chr10/chr11: split trailing digit runs out
+        # of the suffix and compare them numerically
+        suffix = prefix[len(src):] if isinstance(src, str) else prefix
+        return [int(t) if t.isdigit() else t
+                for t in _re.split(r"(\d+)", suffix)]
 
     if isinstance(src, str):
-        prefixes = sorted(f[:-4] for f in _glob.glob(src + "*.bed"))
+        prefixes = sorted((f[:-4] for f in _glob.glob(src + "*.bed")
+                           if f[:-4] != des), key=_natural_key)
         if not prefixes:
             raise FileNotFoundError(f"no {src}*.bed files to merge")
     else:
         prefixes = list(src)
+    if des in prefixes:
+        raise ValueError(f"merge destination {des!r} is also a merge input")
 
     payloads, bims = [], []
     fam0 = None

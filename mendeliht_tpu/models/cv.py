@@ -55,7 +55,9 @@ def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
         return cv_mv_iht(y, x, z, path=path, q=q, folds=folds, zkeep=zkeep,
                          debias=debias, verbose=verbose, max_iter=max_iter,
                          min_iter=min_iter, init_beta=init_beta, dtype=dtype,
-                         rng=rng)
+                         rng=rng, checkpoint_dir=checkpoint_dir,
+                         checkpoint_every=checkpoint_every,
+                         show_progress=show_progress)
 
     d = d if d is not None else glm.Normal()
     path = list(path) if path is not None else list(range(1, 21))
@@ -86,12 +88,17 @@ def cv_iht(y, x, z=None, d=None, l=None, path=None, q=5, est_r="none",
     from ..ops.streaming import StreamedPackedOp
     if isinstance(op, StreamedPackedOp):
         # out-of-core matrix: host-stepped grid solve (every streamed X'R
-        # pass still serves the whole (fold, k) batch)
+        # pass still serves the whole (fold, k) batch); checkpointing and
+        # progress run inside the host-stepped loop
         from .streamed import cv_fused_host
         mses = np.asarray(cv_fused_host(op, data, cfg, ks,
                                         jnp.asarray(train, op.dtype),
                                         jnp.asarray(test, op.dtype),
-                                        init_beta=init_beta))
+                                        init_beta=init_beta,
+                                        checkpoint_dir=checkpoint_dir,
+                                        checkpoint_every=checkpoint_every,
+                                        show_progress=show_progress,
+                                        verbose=verbose))
     elif checkpoint_dir is not None:
         mses = _cv_checkpointed(op, data, cfg, ks, train, test, init_beta,
                                 checkpoint_dir, checkpoint_every, verbose)

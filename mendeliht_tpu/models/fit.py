@@ -248,11 +248,13 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
     if isinstance(op, StreamedPackedOp):
         # out-of-core matrix: host-stepped driver (the jitted while_loop
         # cannot stream blocks from inside the trace); per-iteration lines
-        # still print via cfg.log_iters
+        # print via cfg.log_iters, and tee to `io` when given (same as the
+        # resident teed path below)
         from .streamed import fit_fused_sparse_host
         sel_idx, sel_valid, sel_bc, c, logl, iters, failed, sg = \
             fit_fused_sparse_host(op, data, cfg, ks, cv_wts,
-                                  init_beta=init_beta)
+                                  init_beta=init_beta,
+                                  io=(io if verbose else None))
     elif verbose and io is not None:
         # teed mode (reference fit.jl:194-196 writes the progress lines to
         # `io` AND stdout): step the solver one iteration at a time so the

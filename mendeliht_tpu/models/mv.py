@@ -295,11 +295,23 @@ def _iteration_mv(op, data: MvData, cfg: MvConfig, st: MIHTState) -> MIHTState:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def run_mv_iht(op, data: MvData, cfg: MvConfig, st: MIHTState) -> MIHTState:
-    def cond(s):
-        return jnp.any(s.active) & (s.iteration < cfg.max_iter - 1)
+def run_mv_segment(op, data: MvData, cfg: MvConfig, st: MIHTState,
+                   stop) -> MIHTState:
+    """Advance until all tasks converge or `stop` iterations (traced) are
+    reached — resumable, mirroring univariate.run_segment (checkpointed /
+    progress-segmented mv cv drivers feed the state back in)."""
+    limit = jnp.minimum(jnp.asarray(stop, jnp.int32), cfg.max_iter - 1)
 
-    st = jax.lax.while_loop(cond, lambda s: _iteration_mv(op, data, cfg, s), st)
+    def cond(s):
+        return jnp.any(s.active) & (s.iteration < limit)
+
+    return jax.lax.while_loop(cond, lambda s: _iteration_mv(op, data, cfg, s),
+                              st)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def finalize_mv_iht(op, data: MvData, cfg: MvConfig,
+                    st: MIHTState) -> MIHTState:
     iters = jnp.where(st.active, cfg.max_iter, st.iters)
     improved = st.logl > st.best_logl
     st = dataclasses.replace(
@@ -315,6 +327,12 @@ def run_mv_iht(op, data: MvData, cfg: MvConfig, st: MIHTState) -> MIHTState:
     return dataclasses.replace(st, B=st.best_B, C=st.best_C, sel_idx=sel_idx,
                                sel_valid=sel_valid, BX=BX, CZ=CZ, mu=mu,
                                idc=jnp.any(st.best_C != 0, axis=1))
+
+
+def run_mv_iht(op, data: MvData, cfg: MvConfig, st: MIHTState) -> MIHTState:
+    """Full solve: loop to completion then restore the best model."""
+    st = run_mv_segment(op, data, cfg, st, cfg.max_iter - 1)
+    return finalize_mv_iht(op, data, cfg, st)
 
 
 @partial(jax.jit, static_argnames=("cfg", "init_beta"))
@@ -489,6 +507,12 @@ def _prepare_mv(y, x, z, dtype):
 
 def build_mv(y, x, z=None, *, k=10, zkeep=None, tol=1e-4, max_iter=200,
              min_iter=5, max_step=3, dtype=jnp.float32):
+    from ..ops.streaming import HostStreamedGenotypes, StreamedPackedOp
+    if isinstance(x, (HostStreamedGenotypes, StreamedPackedOp)):
+        raise NotImplementedError(
+            "multivariate IHT on an out-of-core (streamed) matrix is not "
+            "supported — shard the SNP axis across chips instead "
+            "(mendeliht_tpu.parallel)")
     op, Y_pad, z_pad, mask = _prepare_mv(y, x, z, dtype)
     r, q = Y_pad.shape[0], z_pad.shape[1]
     if zkeep is None:
@@ -557,8 +581,12 @@ def fit_mv_iht(y, x, z=None, k=10, d=None, l=None, verbose=True, tol=1e-4,
 
 def cv_mv_iht(y, x, z=None, path=None, q=5, folds=None, zkeep=None,
               debias=False, verbose=True, max_iter=100, min_iter=5,
-              init_beta=False, dtype=jnp.float32, rng=None, **kwargs):
-    """Multivariate cross-validation (reference cv_iht with MvNormal)."""
+              init_beta=False, dtype=jnp.float32, rng=None,
+              checkpoint_dir=None, checkpoint_every=20, show_progress=False,
+              **kwargs):
+    """Multivariate cross-validation (reference cv_iht with MvNormal;
+    the reference treats uni/mv cv uniformly, src/cross_validation.jl:60 —
+    so `checkpoint_dir` / `show_progress` work here like univariate cv)."""
     import sys
     from .cv import allocate_fold_and_k, meanloss
     path = list(path) if path is not None else list(range(1, 21))
@@ -580,12 +608,67 @@ def cv_mv_iht(y, x, z=None, path=None, q=5, folds=None, zkeep=None,
     for i, (fold, _) in enumerate(combos):
         train[i, :n] = folds != fold
         test[i, :n] = folds == fold
-    mses = np.asarray(cv_mv_fused(op, data, cfg, ks,
-                                  jnp.asarray(train, op.dtype),
-                                  jnp.asarray(test, op.dtype),
-                                  init_beta=init_beta))
+    if checkpoint_dir is not None or show_progress:
+        mses = _cv_mv_segmented(op, data, cfg, ks,
+                                jnp.asarray(train, op.dtype),
+                                jnp.asarray(test, op.dtype), init_beta,
+                                checkpoint_dir, checkpoint_every,
+                                show_progress, verbose)
+    else:
+        mses = np.asarray(cv_mv_fused(op, data, cfg, ks,
+                                      jnp.asarray(train, op.dtype),
+                                      jnp.asarray(test, op.dtype),
+                                      init_beta=init_beta))
     mse = meanloss(mses, q, folds)
     best_k = path[int(np.argmin(mse))]
     if verbose:
         print_cv_results(sys.stdout, mse, path, best_k)
     return mse
+
+
+def _cv_mv_segmented(op, data, cfg, ks, train, test, init_beta,
+                     checkpoint_dir, checkpoint_every, show_progress,
+                     verbose, step=5):
+    """Segmented mv cv driver: orbax checkpoints every `checkpoint_every`
+    iterations and/or a live converged-task progress display (mirrors the
+    univariate _cv_checkpointed/_cv_progress drivers in models/cv.py)."""
+    import sys as _sys
+
+    st = init_mv_state(op, data, cfg, ks, train, init_beta=init_beta)
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import save_state, restore_state
+        restored = restore_state(checkpoint_dir, st)
+        if restored is not None:
+            st, stp = restored
+            if verbose:
+                print(f"resuming cross validation from checkpoint step {stp}")
+
+    T = int(ks.shape[0])
+    tty = getattr(_sys.stderr, "isatty", lambda: False)()
+    seg = checkpoint_every if checkpoint_dir is not None else step
+    while True:
+        it = int(st.iteration)
+        if it >= cfg.max_iter - 1:
+            break
+        st = run_mv_segment(op, data, cfg, st,
+                            min(it + seg, cfg.max_iter - 1))
+        n_active = int(np.asarray(jnp.sum(st.active)))
+        if checkpoint_dir is not None:
+            jax.block_until_ready(st.B)
+            save_state(checkpoint_dir, st, int(st.iteration))
+            if verbose:
+                print(f"checkpoint at iteration {int(st.iteration)}; "
+                      f"{n_active} tasks still active")
+        if show_progress:
+            msg = (f"Cross-validating: iteration {int(st.iteration):4d}, "
+                   f"{T - n_active}/{T} models converged")
+            if tty:
+                print("\r" + msg, end="", file=_sys.stderr, flush=True)
+            else:
+                print(msg, file=_sys.stderr, flush=True)
+        if n_active == 0:
+            break
+    if show_progress and tty:
+        print(file=_sys.stderr)
+    st = finalize_mv_iht(op, data, cfg, st)
+    return np.asarray(predict_mse_mv(op, data, cfg, st, test))

@@ -50,12 +50,18 @@ def fetch_rtt(reps: int = 5) -> float:
 
     On remote (tunneled) TPU backends this is several ms; any timing that
     ends in a synchronizing fetch carries one RTT, which the in-jit-loop
-    harnesses below subtract so per-iteration numbers aren't inflated."""
+    harnesses below subtract so per-iteration numbers aren't inflated.
+
+    Each rep fetches a FRESHLY computed device array: ``jax.Array`` caches
+    its host copy (``_npy_value``) after the first ``np.asarray``, so timing
+    repeated fetches of one array measures a ~microsecond cache hit, not the
+    link (round-3 ADVICE.md medium finding)."""
     x = jnp.zeros((), jnp.float32)
-    np.asarray(x)  # ensure ready
+    add = jax.jit(lambda a, b: a + b)
+    np.asarray(add(x, jnp.float32(0)))  # warm compile + link
     t0 = time.time()
-    for _ in range(reps):
-        np.asarray(x)
+    for i in range(reps):
+        np.asarray(add(x, jnp.float32(i + 1)))
     return (time.time() - t0) / reps
 
 

@@ -76,13 +76,33 @@ def phenotype_is_missing(s: str) -> bool:
     return s == "-9" or s == "NA"
 
 
+def _load_delimited(filename: str) -> np.ndarray:
+    """Numeric table with delimiter auto-detection (the reference reads
+    phenotype/covariate files via readdlm, which sniffs the separator:
+    reference src/wrapper.jl:136-218, :228-247).  Comma-, tab-, or
+    whitespace-separated files all parse to the same matrix."""
+    with open(filename, "r") as f:
+        first = ""
+        for line in f:
+            if line.strip():
+                first = line
+                break
+    if "," in first:
+        delimiter = ","
+    elif "\t" in first:
+        delimiter = "\t"
+    else:
+        delimiter = None        # np.loadtxt: any run of whitespace
+    return np.loadtxt(filename, delimiter=delimiter, ndmin=2)
+
+
 def parse_phenotypes(X, col, d):
     """Phenotypes from .fam columns or a CSV file
     (reference src/wrapper.jl:126-218). `col` may be an int (1-based .fam
     column, default 6), a list of ints (multivariate), or a filename."""
     dist = glm.dist_name(d)
     if isinstance(col, str):
-        y = np.loadtxt(col, delimiter=",", ndmin=2)
+        y = _load_delimited(col)
         if is_multivariate(y.T):
             return np.ascontiguousarray(y.T)       # (r, n)
         return y.reshape(-1)
@@ -117,11 +137,12 @@ def parse_phenotypes(X, col, d):
 
 def parse_covariates(filename: str, exclude_std_idx=(), standardize_cols=True,
                      **kwargs):
-    """Comma-separated covariates, first column = intercept; all columns not
-    excluded are standardized (reference src/wrapper.jl:228-247)."""
+    """Delimited covariates (comma/tab/whitespace auto-detected), first
+    column = intercept; all columns not excluded are standardized
+    (reference src/wrapper.jl:228-247)."""
     if "standardize" in kwargs:
         standardize_cols = kwargs.pop("standardize")
-    z = np.loadtxt(filename, delimiter=",", ndmin=2)
+    z = _load_delimited(filename)
     q = z.shape[1]
     exclude_std_idx = np.asarray(exclude_std_idx)
     if exclude_std_idx.dtype == bool:

@@ -147,10 +147,21 @@ class TestSimulatedFits:
         res = m.fit_iht(y, x, k=5, d=m.Normal(), weight=w, verbose=False)
         assert np.count_nonzero(res.beta) <= 5
 
-    def test_float64(self, small_sim):
-        import jax
-        if not jax.config.jax_enable_x64:
-            pytest.skip("x64 not enabled in this session")
+    def test_float64(self):
+        """Full f64 solve in a subprocess under JAX_ENABLE_X64=1 (the parent
+        process already initialized jax in f32): reference-data oracle at
+        tightened tolerance + packed == dense at 1e-10 (reference
+        src/MendelIHT.jl:39 `Float = Union{Float64,Float32}`)."""
+        import os
+        import subprocess
+        import sys
+
+        worker = os.path.join(os.path.dirname(__file__), "x64_worker.py")
+        env = dict(os.environ, JAX_ENABLE_X64="1", JAX_PLATFORMS="cpu")
+        out = subprocess.run([sys.executable, worker], env=env,
+                             capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "X64-OK" in out.stdout
 
     def test_errors(self, small_sim):
         x, y, *_ = small_sim
@@ -161,3 +172,32 @@ class TestSimulatedFits:
             m.fit_iht(y, x, k=5, d=m.Normal(), est_r="newton", verbose=False)
         with pytest.raises(ValueError):
             m.fit_iht(y, x, k=5, d=m.Poisson(), init_beta=True, verbose=False)
+
+
+class TestDebiasConvergence:
+    def test_debias_irls_fixed_point(self, rng):
+        """The early-exiting IRLS refit must land on a fixed point: running
+        debias_refit again from its own output changes nothing beyond the
+        exit tolerance (reference's GLM refit converges and stops,
+        src/utilities.jl:1014-1020)."""
+        import dataclasses
+        import jax.numpy as jnp
+        from mendeliht_tpu.models.fit import build_fit
+        from mendeliht_tpu.models.initialize import init_state
+        from mendeliht_tpu.models.univariate import run_iht
+        from mendeliht_tpu.models.debias import debias_refit
+
+        x, _ = m.simulate_random_snparray(None, 300, 400, rng=rng)
+        y, _, _ = m.simulate_random_response(
+            x, 4, m.Bernoulli(), m.LogitLink(), rng=rng)
+        op, data, cfg, k_scalar = build_fit(y, x, k=4, d=m.Bernoulli(),
+                                            l=m.LogitLink())
+        ks = jnp.asarray([k_scalar], jnp.int32)
+        cv = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
+        st = run_iht(op, data, cfg, init_state(op, data, cfg, ks, cv))
+
+        b1 = debias_refit(op, data, cfg, st)
+        st2 = dataclasses.replace(st, b=b1)
+        b2 = debias_refit(op, data, cfg, st2)
+        np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-4)
+        assert np.all(np.isfinite(np.asarray(b1)))

@@ -209,3 +209,32 @@ def test_merge_plink(tmp_path, rng):
     with pytest.raises(ValueError):
         m.merge_plink([str(tmp_path / "chr1"), pref3],
                       des=str(tmp_path / "bad"))
+
+
+def test_merge_plink_natural_order(tmp_path, rng):
+    """chr2 must merge before chr10/chr11 (numeric, not lexicographic,
+    ordering of the trailing chromosome token), and a destination whose name
+    matches the source glob must never be ingested as an input on re-run."""
+    import mendeliht_tpu as m
+
+    n = 20
+    y = rng.standard_normal(n)
+    parts = {}
+    for c in (1, 2, 10):
+        pref = str(tmp_path / f"chr{c}")
+        x, _ = m.simulate_random_snparray(pref + ".bed", n, 6 + c, rng=rng)
+        m.make_bim_fam_files(x, y, pref)
+        parts[c] = x.to_codes()
+
+    des = str(tmp_path / "chr_all")       # matches the chr* glob on re-run
+    merged = m.merge_plink(str(tmp_path / "chr"), des=des)
+    expect = np.concatenate([parts[1], parts[2], parts[10]], axis=1)
+    np.testing.assert_array_equal(merged.snparray.to_codes(), expect)
+
+    # re-run with the previous output present: des must be excluded
+    merged2 = m.merge_plink(str(tmp_path / "chr"), des=des)
+    assert merged2.snps == merged.snps
+    np.testing.assert_array_equal(merged2.snparray.to_codes(), expect)
+
+    with pytest.raises(ValueError):
+        m.merge_plink([str(tmp_path / "chr1")], des=str(tmp_path / "chr1"))

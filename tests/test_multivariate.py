@@ -93,3 +93,30 @@ def test_mv_zkeep(mv_sim, rng):
     # kept intercept column present for both traits; total entries <= k + r*keep
     assert np.all(res.c[:, 0] != 0)
     assert int((res.beta != 0).sum() + (res.c[:, 1] != 0).sum()) <= 5
+
+
+def test_mv_cv_checkpoint_and_progress(mv_sim, tmp_path):
+    """mv cv supports checkpoint_dir / show_progress like univariate cv (the
+    reference treats uni/mv cv uniformly, src/cross_validation.jl:60)."""
+    x, Y, *_ = mv_sim
+    Yt = np.ascontiguousarray(Y.T)
+    path = [2, 6, 10]
+    folds = np.random.default_rng(9).integers(1, 4, size=500)
+    mse0 = m.cv_iht(Yt, x, path=path, q=3, d=m.MvNormal(), folds=folds,
+                    verbose=False)
+    ck = tmp_path / "mvck"
+    mse1 = m.cv_iht(Yt, x, path=path, q=3, d=m.MvNormal(), folds=folds,
+                    verbose=False, checkpoint_dir=str(ck), checkpoint_every=5,
+                    show_progress=True)
+    np.testing.assert_allclose(np.asarray(mse1), np.asarray(mse0), rtol=1e-4)
+    assert ck.is_dir()
+
+
+def test_mv_cv_streamed_raises(mv_sim):
+    from mendeliht_tpu.ops.streaming import HostStreamedGenotypes
+
+    x, Y, *_ = mv_sim
+    s = HostStreamedGenotypes.from_snparray(x)
+    with pytest.raises(NotImplementedError):
+        m.cv_iht(np.ascontiguousarray(Y.T), x=s, path=[2, 4], q=2,
+                 d=m.MvNormal(), verbose=False)

@@ -126,3 +126,36 @@ def test_streamed_mv_raises(rng):
     Y = rng.standard_normal((2, 60))
     with pytest.raises(NotImplementedError):
         m.fit_iht(Y, s, k=3, d=m.MvNormal(), verbose=False)
+
+
+def test_streamed_cv_checkpoint_and_progress(tmp_path, capsys):
+    """Out-of-core cv honors checkpoint_dir/show_progress (round-3 ADVICE:
+    they were silently ignored) and still matches the resident grid."""
+    rng = np.random.default_rng(77001)
+    g = _problem(rng, n=150, p=100, missing=False)
+    y, _, _ = m.simulate_random_response(g, 3, m.Normal(), rng=rng)
+    folds = np.random.default_rng(5).integers(1, 4, size=150)
+    path = range(1, 5)
+    mse0 = m.cv_iht(y, g, path=path, q=3, folds=folds, verbose=False)
+    ck = tmp_path / "ck"
+    mse1 = m.cv_iht(y, _stream(g, block_bytes=2048), path=path, q=3,
+                    folds=folds, verbose=False, checkpoint_dir=str(ck),
+                    checkpoint_every=3, show_progress=True)
+    np.testing.assert_allclose(np.asarray(mse1), np.asarray(mse0), rtol=1e-4)
+    assert ck.is_dir() and any(n.startswith("step_") for n in
+                               __import__("os").listdir(ck))
+
+
+def test_streamed_fit_io_tee(rng):
+    """Streamed fits tee per-iteration lines to `io` like the resident teed
+    path (reference fit.jl:194-196)."""
+    import io
+
+    g = _problem(rng, n=150, p=100, missing=False)
+    y, _, _ = m.simulate_random_response(g, 3, m.Normal(), rng=rng)
+    buf = io.StringIO()
+    m.fit_iht(y, _stream(g, block_bytes=2048), k=3, d=m.Normal(),
+              verbose=True, io=buf, max_iter=30)
+    text = buf.getvalue()
+    assert "Iteration 1: loglikelihood = " in text
+    assert "backtracks" in text

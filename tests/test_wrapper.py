@@ -139,3 +139,50 @@ class TestSimRoundTrip:
         np.testing.assert_allclose(out[:, 0], 1.0)
         assert abs(out[:, 1].mean()) < 1e-10
         assert abs(out[:, 1].std(ddof=1) - 1) < 1e-10
+
+
+class TestDelimiterSniffing:
+    """Comma-, tab-, and whitespace-separated phenotype/covariate files all
+    parse identically (the reference reads them via readdlm, which sniffs
+    the separator: src/wrapper.jl:136-218, :228-247)."""
+
+    def test_phenotypes_any_delimiter(self, in_tmp, rng):
+        from mendeliht_tpu.utils.wrapper import parse_phenotypes
+
+        Y = rng.standard_normal((40, 2))
+        for name, d in [("p.csv", ","), ("p.tsv", "\t"), ("p.phen", " ")]:
+            np.savetxt(name, Y, delimiter=d)
+        a = parse_phenotypes(None, "p.csv", m.MvNormal())
+        b = parse_phenotypes(None, "p.tsv", m.MvNormal())
+        c = parse_phenotypes(None, "p.phen", m.MvNormal())
+        np.testing.assert_allclose(b, a)
+        np.testing.assert_allclose(c, a)
+        # single-column (univariate) whitespace file — common PLINK .phen
+        np.savetxt("u.phen", Y[:, 0])
+        u = parse_phenotypes(None, "u.phen", m.Normal())
+        np.testing.assert_allclose(u, Y[:, 0], atol=1e-12)
+
+    def test_covariates_any_delimiter(self, in_tmp, rng):
+        from mendeliht_tpu.utils.wrapper import parse_covariates
+
+        Z = np.column_stack([np.ones(40), rng.standard_normal((40, 2))])
+        for name, d in [("z.csv", ","), ("z.tsv", "\t"), ("z.txt", " ")]:
+            np.savetxt(name, Z, delimiter=d)
+        za = parse_covariates("z.csv")
+        zb = parse_covariates("z.tsv")
+        zc = parse_covariates("z.txt")
+        np.testing.assert_allclose(zb, za)
+        np.testing.assert_allclose(zc, za)
+
+    def test_iht_whitespace_phen(self, in_tmp, rng):
+        """End-to-end: iht() with a whitespace-separated phenotype file
+        matches the comma-separated one exactly."""
+        x, _ = m.simulate_random_snparray("w.bed", 200, 300, rng=rng)
+        y, _, _ = m.simulate_random_response(x, 3, m.Normal(), rng=rng)
+        m.make_bim_fam_files(x, y, "w")
+        np.savetxt("w_comma.phen", y.reshape(-1, 1), delimiter=",")
+        np.savetxt("w_ws.phen", y.reshape(-1, 1), delimiter=" ")
+        r1 = m.iht("w", 3, m.Normal, phenotypes="w_comma.phen", verbose=False)
+        r2 = m.iht("w", 3, m.Normal, phenotypes="w_ws.phen", verbose=False)
+        np.testing.assert_allclose(r2.beta, r1.beta, atol=1e-7)
+        np.testing.assert_allclose(r2.c, r1.c, atol=1e-7)

@@ -63,10 +63,15 @@ def main():
     # each phase were timed as one dispatch + one fetch.  Measure the RTT
     # once, then time each phase as `reps` asynchronously-queued dispatches
     # followed by ONE fetch, and subtract the RTT from the total.
+    # NOTE: each rep must fetch a FRESHLY computed array — jax.Array caches
+    # its host copy after the first np.asarray, so re-fetching one array
+    # times a microsecond cache hit, not the link (round-3 ADVICE medium).
     tiny = sync(jnp.zeros((), jnp.float32))
+    add = jax.jit(lambda a, b: a + b)
+    np.asarray(add(tiny, jnp.float32(0)))
     t0 = time.time()
-    for _ in range(5):
-        np.asarray(tiny)
+    for i in range(5):
+        np.asarray(add(tiny, jnp.float32(i + 1)))
     rtt = (time.time() - t0) / 5
     print(f"{'device fetch RTT':34s}: {rtt*1e3:8.1f} ms", flush=True)
     phases["device_fetch_rtt_ms"] = round(rtt * 1e3, 2)

@@ -13,10 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import glm
-from ..ops.projections import (project_topk_joint, project_group_sparse_batched,
-                               project_group_sparse_per_task, select_support)
+from ..ops.projections import (project_group_sparse_batched,
+                               project_group_sparse_per_task)
 from .state import IHTState, FitConfig, FitData
-from .univariate import _forward, _score
+from .univariate import _forward, _score, _proj_joint
 import dataclasses
 
 
@@ -114,8 +114,8 @@ def init_state(op, data: FitData, cfg: FitConfig, k, cv_wts,
         b = b.astype(dtype)
         c = c.astype(dtype)
         weight = data.weight if cfg.has_weight else None
-        b, c, sel_idx, _, sel_valid = project_topk_joint(
-            b, c, k + cfg.zkeepn, data.zkeep, cfg.S, weight=weight)
+        b, c, sel_idx, _, sel_valid = _proj_joint(
+            op, b, c, k + cfg.zkeepn, data.zkeep, cfg.S, weight=weight)
         st = dataclasses.replace(
             st, b=b, c=c, b0=b, c0=c, sel_idx=sel_idx, sel_valid=sel_valid,
             idc=c != 0)
@@ -138,8 +138,8 @@ def init_state(op, data: FitData, cfg: FitConfig, k, cv_wts,
         # itself is *replaced* by its projection, so the first gradient step
         # moves only the selected entries (reference src/utilities.jl:416-431)
         weight = data.weight if cfg.has_weight else None
-        df_p, df2_p, sel_idx, _, sel_valid = project_topk_joint(
-            df, df2, k + cfg.zkeepn, data.zkeep, cfg.S, weight=weight)
+        df_p, df2_p, sel_idx, _, sel_valid = _proj_joint(
+            op, df, df2, k + cfg.zkeepn, data.zkeep, cfg.S, weight=weight)
         df2_p = jnp.where(data.zkeep[None, :], df2, df2_p)
         st = dataclasses.replace(
             st, df=df_p, df2=df2_p, sel_idx=sel_idx, sel_valid=sel_valid,

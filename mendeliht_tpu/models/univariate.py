@@ -49,12 +49,42 @@ def _split_sel(sel_idx, sel_valid, p):
     return gidx, gval
 
 
+# --- operator-routed sparse/support primitives ----------------------------
+# A sharded operator (parallel.ShardedPackedOp) overrides these so that the
+# (B, p) arrays never leave their shards: the default XLA lowering of a
+# global take_along_axis / top_k on a sharded array ALL-GATHERS the full
+# array (measured: 4 x 10.5 MB per iteration at p = 131k on an 8-shard mesh,
+# SCALING.json model_vs_measured) — the overrides exchange only (B, S)
+# candidate lists.
+
+def _take_b(op, arr, gidx, gval):
+    """Masked (B, S) gather from a (B, p) array along the SNP axis."""
+    f = getattr(op, "take_b", None)
+    if f is not None:
+        return f(arr, gidx, gval)
+    v = jnp.take_along_axis(arr, gidx, axis=1)
+    return jnp.where(gval, v, jnp.zeros((), v.dtype))
+
+
+def _proj_joint(op, b, c, k_plus_keep, zkeep, S, weight=None):
+    f = getattr(op, "project_topk_joint", None)
+    if f is not None:
+        return f(b, c, k_plus_keep, zkeep, S, weight=weight)
+    return project_topk_joint(b, c, k_plus_keep, zkeep, S, weight=weight)
+
+
+def _sel_support(op, b, c, zkeep, S):
+    f = getattr(op, "select_support", None)
+    if f is not None:
+        return f(b, c, zkeep, S)
+    return select_support(b, c, zkeep, S)
+
+
 def _stepsize(op, data: FitData, cfg: FitConfig, st: IHTState):
     """eta = ||grad_supp||^2 / ||sqrt(W) X grad_supp||^2
     (reference src/utilities.jl:722-764)."""
     gidx, gval = _split_sel(st.sel_idx, st.sel_valid, op.p)
-    df_sel = jnp.take_along_axis(st.df, gidx, axis=1)
-    df_sel = jnp.where(gval, df_sel, 0.0)
+    df_sel = _take_b(op, st.df, gidx, gval)
     numer = jnp.sum(df_sel * df_sel, axis=1)
     df2_supp = jnp.where(st.idc, st.df2, 0.0)
     numer = numer + jnp.sum(df2_supp * df2_supp, axis=1)
@@ -89,12 +119,12 @@ def _gradstep(op, data: FitData, cfg: FitConfig, st: IHTState, eta):
             b_new = project_group_sparse_per_task(
                 b1, data.group, cfg.J, st.k, cfg.n_groups)
         c_new = c1
-        sel_idx, sel_valid = select_support(
-            b_new, jnp.zeros_like(c1), data.zkeep, cfg.S)
+        sel_idx, sel_valid = _sel_support(
+            op, b_new, jnp.zeros_like(c1), data.zkeep, cfg.S)
     else:
         weight = data.weight if cfg.has_weight else None
-        b_new, c_new, sel_idx, _, sel_valid = project_topk_joint(
-            b1, c1, st.k + cfg.zkeepn, data.zkeep, cfg.S, weight=weight)
+        b_new, c_new, sel_idx, _, sel_valid = _proj_joint(
+            op, b1, c1, st.k + cfg.zkeepn, data.zkeep, cfg.S, weight=weight)
     idc = c_new != 0
     return b_new, c_new, sel_idx, sel_valid, idc
 
@@ -103,7 +133,7 @@ def _forward(op, data: FitData, cfg: FitConfig, b, c, sel_idx, sel_valid):
     """xb = X[:, supp] b_supp; zc = Z c; clamp +-20 for exponential links
     (reference src/utilities.jl:93-118)."""
     gidx, gval = _split_sel(sel_idx, sel_valid, op.p)
-    bcoef = jnp.take_along_axis(b, gidx, axis=1)
+    bcoef = _take_b(op, b, gidx, gval)
     xb = op.forward_sel(gidx, bcoef, gval.astype(b.dtype))
     zc = jnp.dot(c, data.z.T)
     if cfg.dist != "normal":
@@ -284,7 +314,8 @@ def finalize_iht(op, data: FitData, cfg: FitConfig, st: IHTState) -> IHTState:
                              active=jnp.zeros_like(st.active))
     # save_best_model!: restore best iterate, recompute xb / genotype-only mu
     # (reference src/utilities.jl:995-1006)
-    sel_idx, sel_valid = select_support(st.best_b, st.best_c, data.zkeep, cfg.S)
+    sel_idx, sel_valid = _sel_support(op, st.best_b, st.best_c, data.zkeep,
+                                      cfg.S)
     xb, zc = _forward(op, data, cfg, st.best_b, st.best_c, sel_idx, sel_valid)
     mu = glm.linkinv(cfg.link, xb)  # NOTE: genotype-only mean, used by pve
     return dataclasses.replace(st, b=st.best_b, c=st.best_c,

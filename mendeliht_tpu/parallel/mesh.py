@@ -43,6 +43,31 @@ def make_mesh(n_task: int | None = None, n_snp: int | None = None,
     return Mesh(dev_array, axis_names=("task", "snp"))
 
 
+def pad_geno_rows(geno, n_shards: int):
+    """Pad a PackedGenotypes to an even multiple of `n_shards` SNP rows so
+    it can shard over the 'snp' axis when p is ragged (shard_map requires
+    even splits).  Pad rows are inert: words zero, inv_sd == 0 (so every
+    standardized product contributes exactly 0), mu == 0.  Callers keep
+    using the true `p` for betas — the solver's projections can never select
+    a pad row because its gradient is identically zero.  Multi-host ingest
+    does the same padding host-side (multihost.shard_rows)."""
+    import dataclasses
+    import jax.numpy as jnp
+    p = geno.p
+    per = -(-p // n_shards)
+    p_pad = per * n_shards
+    if p_pad == p:
+        return geno
+    extra = p_pad - p
+    words = jnp.concatenate(
+        [geno.words, jnp.zeros((extra, geno.words.shape[1]),
+                               geno.words.dtype)], axis=0)
+    mu = jnp.concatenate([geno.mu, jnp.zeros(extra, geno.mu.dtype)])
+    inv = jnp.concatenate([geno.inv_sd, jnp.zeros(extra, geno.inv_sd.dtype)])
+    return dataclasses.replace(geno, words=words, mu=mu, inv_sd=inv,
+                               p=p_pad, maf_=None, n_missing=None)
+
+
 def geno_sharding(mesh: Mesh):
     """PackedGenotypes sharding: packed rows (SNPs) across 'snp', stats too."""
     return dict(

@@ -212,13 +212,15 @@ def comm_model(n: int, p: int, B: int = 1, n_task: int = 1, n_snp: int = 1,
     n_pad = 4 * n4
     local_bytes = (p / max(n_snp, 1)) * n4          # packed words per shard
     psums = 2.0 + backtracks_per_iter
+    payload = psums * (B / max(n_task, 1)) * n_pad * 4
     ring = 2.0 * (n_snp - 1) / n_snp if n_snp > 1 else 0.0
-    comm_bytes = psums * (B / max(n_task, 1)) * n_pad * 4 * ring
+    comm_bytes = payload * ring
     t_local = local_bytes / stream_bytes_per_s
     t_comm = comm_bytes / link_bytes_per_s
     t1 = p * n4 / stream_bytes_per_s                # single-shard iteration
     return {
         "local_bytes_per_iter": local_bytes,
+        "psum_payload_bytes_per_iter": payload,
         "collective_bytes_per_iter": comm_bytes,
         "t_local_s": t_local,
         "t_comm_s": t_comm,

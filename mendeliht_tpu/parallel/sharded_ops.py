@@ -175,6 +175,117 @@ class ShardedPackedOp:
             out_specs=P("task", None, None))
         return f(g.words, g.mu, g.inv_sd, idx, valid.astype(dtype))
 
+    # --- support primitives: exchange (B, S) candidates, never (B, p) -----
+    # Without these the solver's global take_along_axis / top_k on the
+    # sharded (B, p) arrays make XLA ALL-GATHER the full array every
+    # iteration (measured 4 x 10.5 MB/iter at p = 131k on 8 shards,
+    # SCALING.json model_vs_measured) — at UKB scale that is ~160 MB/iter
+    # of ICI traffic. The two-stage forms below are the "per-shard top-k ->
+    # gather candidates -> global top-k" design from SURVEY.md §5.
+
+    def take_b(self, arr, gidx, gval):
+        """Masked (B, S) gather from a SNP-sharded (B, p) array: each shard
+        contributes the entries it owns; one small psum."""
+        def local(a_l, gidx, gval):
+            lidx, owned = _local_slice(gidx, a_l.shape[1])
+            v = jnp.take_along_axis(a_l, lidx, axis=1)
+            v = jnp.where(owned & gval, v, jnp.zeros((), v.dtype))
+            return jax.lax.psum(v, "snp")
+
+        f = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("task", "snp"), P("task", None), P("task", None)),
+            out_specs=P("task", None))
+        return f(arr, gidx, gval)
+
+    def _candidates(self, b, c, zkeep, S, weight):
+        """Two-stage top-S over the sharded joint [b; c]: per-shard top-S
+        candidates -> all_gather (B, ns*S + q) -> global top-S.  Returns
+        (sel_idx (B,S) global [b;c] indices, vals (B,S) original values)."""
+        from ..ops.projections import fast_top_k
+        p = self.p
+
+        def local(b_l, c_l, zkeep, w):
+            B, p_local = b_l.shape
+            q = c_l.shape[1]
+            off = jax.lax.axis_index("snp") * p_local
+            magb = jnp.abs(b_l)
+            if w is not None:
+                wb = jax.lax.dynamic_slice(w, (off,), (p_local,))
+                magb = magb * wb[None, :]
+            Sl = min(S, p_local)
+            v, i = fast_top_k(magb, Sl)
+            xv = jnp.take_along_axis(b_l, i, axis=1)
+            cand_v = jax.lax.all_gather(v, "snp", axis=1, tiled=True)
+            cand_i = jax.lax.all_gather(i + off, "snp", axis=1, tiled=True)
+            cand_x = jax.lax.all_gather(xv, "snp", axis=1, tiled=True)
+            magc = jnp.abs(c_l)
+            if w is not None:
+                magc = magc * w[p:][None, :]
+            magc = jnp.where(zkeep[None, :], jnp.inf, magc)
+            cat_v = jnp.concatenate([cand_v, magc], axis=1)
+            cat_i = jnp.concatenate(
+                [cand_i, jnp.broadcast_to(p + jnp.arange(q, dtype=cand_i.dtype
+                                                         )[None, :], (B, q))],
+                axis=1)
+            cat_x = jnp.concatenate([cand_x, c_l], axis=1)
+            _, sel = jax.lax.top_k(cat_v, S)
+            sel_idx = jnp.take_along_axis(cat_i, sel, axis=1)
+            vals = jnp.take_along_axis(cat_x, sel, axis=1)
+            return sel_idx, vals
+
+        specs = [P("task", "snp"), P("task", None), P()]
+        args = [b, c, zkeep]
+        if weight is not None:
+            specs.append(P())
+            args.append(weight)
+            fn = lambda b_l, c_l, zk, w: local(b_l, c_l, zk, w)
+        else:
+            fn = lambda b_l, c_l, zk: local(b_l, c_l, zk, None)
+        # the all_gather makes both outputs bitwise-replicated over 'snp';
+        # shard_map cannot infer that statically -> disable the check
+        f = shard_map(fn, mesh=self.mesh, in_specs=tuple(specs),
+                      out_specs=(P("task", None), P("task", None)),
+                      check_vma=False)
+        return f(*args)
+
+    def select_support(self, b, c, zkeep, S):
+        sel_idx, vals = self._candidates(b, c, zkeep, S, None)
+        return sel_idx, vals != 0
+
+    def project_topk_joint(self, b, c, k_plus_keep, zkeep, S, weight=None):
+        """Sharded joint top-k projection (ops/projections.project_topk_joint
+        semantics): zero everything but each task's k_plus_keep largest
+        entries; zkeep covariates keep their value unconditionally."""
+        p = self.p
+        sel_idx, vals = self._candidates(b, c, zkeep, S, weight)
+        keep = jnp.arange(S)[None, :] < k_plus_keep[:, None]
+        kept = jnp.where(keep, vals, jnp.zeros((), vals.dtype))
+
+        def scatter_b(b_l, sel_idx, kept):
+            B, p_local = b_l.shape
+            off = jax.lax.axis_index("snp") * p_local
+            lsel = sel_idx - off
+            owned = (lsel >= 0) & (lsel < p_local)
+            return jnp.zeros_like(b_l).at[
+                jnp.arange(B)[:, None], jnp.where(owned, lsel, 0)
+            ].add(jnp.where(owned, kept, jnp.zeros((), kept.dtype)))
+
+        f = shard_map(
+            scatter_b, mesh=self.mesh,
+            in_specs=(P("task", "snp"), P("task", None), P("task", None)),
+            out_specs=P("task", "snp"))
+        b_new = f(b, sel_idx, kept)
+        q = c.shape[1]
+        is_c = sel_idx >= p
+        c_new = jnp.zeros_like(c).at[
+            jnp.arange(c.shape[0])[:, None],
+            jnp.where(is_c, sel_idx - p, 0)
+        ].add(jnp.where(is_c, kept, jnp.zeros((), kept.dtype)))
+        c_new = jnp.where(zkeep[None, :], c, c_new)
+        sel_keep = keep & (vals != 0)
+        return b_new, c_new, sel_idx, vals, sel_keep
+
     def col_moments(self, W, WY):
         g = self.geno
 

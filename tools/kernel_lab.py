@@ -63,12 +63,13 @@ def pallas_reader(words, tp=1024):
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
         cost_estimate=pl.CostEstimate(flops=p * nw, bytes_accessed=p * nw * 4,
                                       transcendentals=0),
     )
 
 
-def time_reader(words, tp, iters=10):
+def time_reader(words, tp, iters=50):
     reader = pallas_reader(words, tp=tp)
 
     @jax.jit
@@ -87,7 +88,7 @@ def time_reader(words, tp, iters=10):
     return words.nbytes / dt
 
 
-def time_xla_reduce(words, iters=10):
+def time_xla_reduce(words, iters=50):
     @jax.jit
     def loop(w, s0):
         def body(c, _):
@@ -152,11 +153,14 @@ def _kernel_T(wordsT_ref, rhs_ref, scale_ref, o_ref, acc_ref, *, tw):
     t = wordsT_ref[:]
     h = (t >> 1) & 0x55555555
     w = h + (h & t)
-    w8 = pltpu.bitcast(w, jnp.int8)            # (4tw, tp)
     acc = acc_ref[:]
     dn = (((1,), (0,)), ((), ()))
     for q in range(4):
-        vq = ((w8 >> (2 * q)) & 3)
+        # extract crumb q of every byte in i32 domain (Mosaic cannot shift
+        # i8 vectors), then bitcast: (tw, tp) i32 -> (4tw, tp) i8 where row
+        # 4a+k = byte k of word-row a — sample-bytes form the contraction dim
+        xq = (w >> (2 * q)) & 0x03030303
+        vq = pltpu.bitcast(xq, jnp.int8)                   # (4tw, tp)
         rhs_q = rhs_ref[q, :, pl.ds(j * 4 * tw, 4 * tw)]   # (3mc, 4tw)
         acc = acc + jax.lax.dot_general(
             rhs_q, vq, dn, preferred_element_type=jnp.int32)
@@ -207,7 +211,7 @@ def xt_dots_T(wordsT, rhs, tp=1024, tw=None):
     return out.T
 
 
-def time_kernel(fn, arr, n_pad, m, iters=10):
+def time_kernel(fn, arr, n_pad, m, iters=25):
     """Carry-dependent timing of an X'R-like fn(arr, rhs)->(p, m)."""
     @functools.partial(jax.jit, static_argnames=("it",))
     def loop(a, rhs0, it):

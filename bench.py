@@ -327,6 +327,264 @@ def run_scale(n=50_000, p=1_000_000):
     print(json.dumps(rows[0]))
 
 
+def _mv_response(g, r, rng, k_causal=10, scale=0.5):
+    """Simulate an (r, n) multivariate Gaussian response on cached packed
+    genotypes with k_causal shared causal SNPs and trait covariance Sigma."""
+    import jax.numpy as jnp
+    import mendeliht_tpu as m
+    from mendeliht_tpu.ops.linalg import make_operator
+
+    causal = rng.choice(P, size=k_causal, replace=False)
+    Beff = rng.standard_normal((r, k_causal)) * scale
+    op = make_operator(g)
+    idx = jnp.asarray(causal[None, :])
+    coef = jnp.asarray(Beff[None], jnp.float32)
+    BX = np.asarray(op.forward_sel_multi(
+        idx, coef, jnp.ones((1, k_causal), jnp.float32)))[0]     # (r, n_pad)
+    Sigma = m.random_covariance_matrix(r, rng=rng)
+    E = np.linalg.cholesky(Sigma) @ rng.standard_normal((r, g.n))
+    return np.ascontiguousarray(BX[:, :g.n] + E), causal
+
+
+def run_flagship(g, y):
+    """Flagship BATCH workloads at reference scale (round-4 VERDICT #2):
+
+    (a) cv_iht n=10k x 1M, path=1:20, q=5 — the m=100 multi-RHS regime the
+        kernel was designed for (reference's own cv harness shape,
+        src/cross_validation.jl:60-131, scaled to its 1M-SNP benchmarks);
+    (b) multivariate 3-trait FIT at 10k x 1M;
+    (c) multivariate 3-trait CV, path=100:100:1000, q=3 — the reference's
+        UK-Biobank hypertension protocol verbatim (manuscript/
+        UKBB_hyptertension/ukbb.jl: same path/q/init_beta/min_iter).
+
+    Reference baselines: the cv row extrapolates the committed 5k x 50k
+    ~150 s row by nnz (x40); the mv rows quote the committed UKBB wall
+    times (12,290 s cv / 8,857 s fit) with an nnz-scaled extrapolation —
+    the UKBB data itself is not in the repo (paper: ~185k x ~470k).
+    Writes BENCH_FLAGSHIP.json."""
+    import jax
+    import mendeliht_tpu as m
+
+    rows = []
+
+    def add(metric, seconds, baseline_s, baseline_kind, note="", **extra):
+        row = {"metric": metric, "value": round(seconds, 3), "unit": "s",
+               "vs_baseline": (round(seconds / baseline_s, 6)
+                               if baseline_s else None),
+               "baseline_s": baseline_s, "baseline_kind": baseline_kind}
+        if note:
+            row["note"] = note
+        row.update(extra)
+        rows.append(row)
+        log(f"[flagship] {metric}: {seconds:.3f}s (ref {baseline_s}s, "
+            f"{baseline_kind})")
+
+    # ---- (a) univariate cv at the kernel's m=100 design point ----------
+    folds_rng = np.random.default_rng(3)
+    kw = dict(path=range(1, 21), q=5, verbose=False,
+              rng=np.random.default_rng(3))
+    t0 = time.time()
+    mses = m.cv_iht(y, g, **kw)
+    t_cold = time.time() - t0
+    t0 = time.time()
+    mses = m.cv_iht(y, g, **kw)
+    add("cv_iht_gaussian_n10k_p1M_path20_q5", time.time() - t0,
+        round(150.0 * (N * P) / (5000 * 50_000), 1), "extrapolated",
+        note="ref committed 5k x 50k ~150 s (10 cores); scaled by nnz x40 "
+             "— cv cost is one X'R pass per iteration over the grid",
+        cold_s=round(t_cold, 3), best_k=int(np.argmin(mses)) + 1)
+
+    # ---- (b) 3-trait multivariate fit ----------------------------------
+    rng = np.random.default_rng(31)
+    Y3, causal = _mv_response(g, 3, rng)
+    m.fit_iht(Y3, g, k=12, d=m.MvNormal(), verbose=False, min_iter=10,
+              init_beta=True)                                    # compile
+    t0 = time.time()
+    res = m.fit_iht(Y3, g, k=12, d=m.MvNormal(), verbose=False, min_iter=10,
+                    init_beta=True)
+    add("mv3_iht_fit_n10k_p1M_k12", time.time() - t0, 8857.0,
+        "different-shape reference",
+        note="ref committed UKBB 3-trait final fit wall time (k=197, 1500 "
+             "iters, ~185k x ~470k per paper; data not in repo). nnz-scaled "
+             "equivalent ~1018 s; iteration counts differ",
+        iters=res.iter)
+
+    # ---- (c) 3-trait multivariate cv, UKBB protocol --------------------
+    kw = dict(path=range(100, 1001, 100), q=3, d=m.MvNormal(), verbose=False,
+              init_beta=True, min_iter=10, rng=np.random.default_rng(5))
+    t0 = time.time()
+    mses = m.cv_iht(Y3, g, **kw)
+    t_cold = time.time() - t0
+    t0 = time.time()
+    mses = m.cv_iht(Y3, g, **kw)
+    add("mv3_cv_iht_n10k_p1M_path100-1000_q3", time.time() - t0, 12290.0,
+        "different-shape reference",
+        note="reference UKBB hypertension protocol verbatim (path=100:100:"
+             "1000, q=3, init_beta, min_iter=10; manuscript joblog 12,290 s "
+             "at ~185k x ~470k). nnz-scaled equivalent ~1413 s",
+        cold_s=round(t_cold, 3),
+        best_k=int(np.asarray(list(kw["path"]))[int(np.argmin(mses))]))
+
+    out = {"device": str(jax.devices()[0].device_kind), "rows": rows}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FLAGSHIP.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    log("wrote", path)
+    print(json.dumps(rows[0]))
+
+
+def run_stream():
+    """Out-of-core evidence (round-4 VERDICT #3), STREAM.json:
+
+    (a) streamed fit of the 10k x 1M problem with exact parity (support +
+        logl) against the HBM-resident fit;
+    (b) a LARGER-THAN-HBM problem — 80k x 1M = 20.5 GB packed vs 16 GB v5e
+        HBM — fit end-to-end from host RAM with per-pass transfer/compute
+        accounting.  This is the capacity story that replaces the
+        reference's mmap virtual memory (docs FAQ.md:31-33: 62 GB virtual
+        at 500k x 500k)."""
+    import jax
+    import jax.numpy as jnp
+    import mendeliht_tpu as m
+    from mendeliht_tpu.genotype.snparray import (_bytes_to_words, _ceil_to,
+                                                 _LANE)
+    from mendeliht_tpu.ops.streaming import (HostStreamedGenotypes,
+                                             StreamedPackedOp)
+
+    out = {"device": str(jax.devices()[0].device_kind)}
+
+    # measured host->device link rate (the denominator for streamed passes)
+    t0 = time.time()
+    buf = jnp.asarray(np.ones((256, 1024, 1024), np.uint8))
+    np.asarray(jnp.sum(buf[0, 0]))
+    link_gbs = buf.nbytes / (time.time() - t0) / 1e9
+    del buf
+    out["h2d_link_gbytes_per_s"] = round(link_gbs, 3)
+    log(f"[stream] h2d link: {link_gbs:.2f} GB/s")
+
+    # ---- (a) 10k x 1M streamed == resident parity -----------------------
+    g, y, causal, beta = load_problem()
+    res_r = m.fit_iht(y, g, k=K, d=m.Normal(), verbose=False)
+    s = HostStreamedGenotypes(
+        words_np=np.asarray(_bytes_to_words(
+            np.load(os.path.join(CACHE, f"gauss_nm_{N}x{P}_L{_LANE}.npz")
+                    )["packed"])),
+        mu=g.mu, inv_sd=g.inv_sd, n=g.n, p=g.p, has_missing=g.has_missing)
+    del g
+    t0 = time.time()
+    res_s = m.fit_iht(y, s, k=K, d=m.Normal(), verbose=False)
+    t_stream = time.time() - t0
+    assert (np.flatnonzero(res_s.beta).tolist()
+            == np.flatnonzero(res_r.beta).tolist()), "support parity failed"
+    out["parity_10k_x_1M"] = {
+        "resident_s": round(res_r.time, 3),
+        "streamed_s": round(t_stream, 3),
+        "iters": res_s.iter,
+        "support_identical": True,
+        "logl_resident": res_r.logl, "logl_streamed": res_s.logl,
+        "abs_logl_diff": abs(res_r.logl - res_s.logl),
+        "packed_gbytes": round(s.words_np.nbytes / 1e9, 2),
+    }
+    log(f"[stream] 10k x 1M: streamed {t_stream:.1f}s vs resident "
+        f"{res_r.time:.3f}s, support identical, "
+        f"dlogl={abs(res_r.logl - res_s.logl):.2e}")
+    del s
+
+    # ---- (b) larger-than-HBM: 80k x 1M = 20.5 GB packed -----------------
+    n_big, p_big = 80_000, P
+    fpk = os.path.join(CACHE, f"stream_{n_big}x{p_big}_L{_LANE}_packed.npy")
+    fst = os.path.join(CACHE, f"stream_{n_big}x{p_big}_L{_LANE}_stats.npz")
+    if os.path.isfile(fpk):
+        log("[stream] loading cached 80k x 1M problem...")
+        packed = np.load(fpk, mmap_mode="r")
+        d = np.load(fst)
+        mu, inv_sd, causal_b, beta_b = (d["mu"], d["inv_sd"], d["causal"],
+                                        d["beta"])
+    else:
+        log(f"[stream] simulating {n_big}x{p_big} (one-time, ~10 min)...")
+        rng = np.random.default_rng(80_2026)
+        packed, mu, inv_sd, _, causal_b, beta_b = _gen_problem(
+            rng, n=n_big, p=p_big)
+        np.save(fpk, packed)
+        np.savez(fst, mu=mu, inv_sd=inv_sd, causal=causal_b, beta=beta_b)
+    # response simulated on the HOST (device gathers of a >HBM matrix are
+    # impossible by definition)
+    n4 = packed.shape[1]
+    xb = np.zeros(n_big)
+    for j, b in zip(causal_b, beta_b):
+        row = np.asarray(packed[j])
+        vals = np.empty(4 * n4, np.float32)
+        for sdx in range(4):
+            c = (row >> (2 * sdx)) & 3
+            vals[sdx * n4:(sdx + 1) * n4] = np.where(
+                c == 2, 1.0, np.where(c == 3, 2.0, 0.0))
+        xb += b * inv_sd[j] * (vals[:n_big] - mu[j])
+    y_big = xb + 1.0 + np.random.default_rng(7).standard_normal(n_big)
+
+    words_np = _bytes_to_words(np.ascontiguousarray(packed))
+    sgeno = HostStreamedGenotypes(
+        words_np=words_np, mu=jnp.asarray(mu.astype(np.float32)),
+        inv_sd=jnp.asarray(inv_sd.astype(np.float32)),
+        n=n_big, p=p_big, has_missing=False)
+    packed_gb = words_np.nbytes / 1e9
+    log(f"[stream] 80k x 1M: {packed_gb:.1f} GB packed "
+        f"(> 16 GB v5e HBM), streaming from host RAM")
+
+    # one instrumented X'R pass: transfer/compute overlap accounting
+    sop = StreamedPackedOp(sgeno)
+    R = jnp.ones((1, sop.n_pad), jnp.float32)
+    np.asarray(sop.xtr(R)[0, :8])                          # warm compile
+    t0 = time.time()
+    np.asarray(sop.xtr(R * 1.5)[0, :8])
+    t_pass = time.time() - t0
+    t_xfer_only = packed_gb / link_gbs
+    out["pass_80k_x_1M"] = {
+        "packed_gbytes": round(packed_gb, 2),
+        "xtr_pass_s": round(t_pass, 2),
+        "pure_transfer_s_at_link": round(t_xfer_only, 2),
+        "overlap_efficiency": round(t_xfer_only / t_pass, 3),
+        "note": ("streamed X'R is link-bound: blocks are device_put while "
+                 "the previous block's kernel runs (async dispatch), so "
+                 "pass time ~ transfer time; overlap_efficiency = pure "
+                 "transfer / measured pass"),
+    }
+    log(f"[stream] X'R pass: {t_pass:.1f}s vs pure transfer "
+        f"{t_xfer_only:.1f}s ({t_xfer_only / t_pass:.0%} overlap)")
+
+    t0 = time.time()
+    res_b = m.fit_iht(y_big, sgeno, k=K, d=m.Normal(), verbose=False)
+    t_fit = time.time() - t0
+    found = set(np.flatnonzero(res_b.beta))
+    big_eff = set(causal_b[np.abs(beta_b) > 0.3])
+    out["fit_80k_x_1M"] = {
+        "wall_s": round(t_fit, 1),
+        "iters": res_b.iter,
+        "logl": res_b.logl,
+        "causal_recovered": len(found & set(causal_b)),
+        "large_effect_recovered": f"{len(found & big_eff)}/{len(big_eff)}",
+        "full_passes": 1 + res_b.iter,
+        "s_per_pass": round(t_fit / (1 + res_b.iter), 1),
+        "note": ("reference comparison: its n=120k x 1M rows (30 GB packed) "
+                 "ran 2428-30340 s on a 62 GB Xeon node via mmap "
+                 "(BASELINE.md); this 20.5 GB problem exceeds the 16 GB v5e "
+                 "HBM and streams from host RAM with no capacity cliff. On "
+                 "a real (non-tunneled) TPU host the link is PCIe/DMA "
+                 "~10-50x faster than this remote tunnel"),
+    }
+    log(f"[stream] 80k x 1M fit: {t_fit:.1f}s, {res_b.iter} iters, "
+        f"recovered {len(found & set(causal_b))}/{K}")
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "STREAM.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    log("wrote", path)
+    print(json.dumps({"metric": "stream_fit_80k_x_1M_wall_seconds",
+                      "value": out["fit_80k_x_1M"]["wall_s"], "unit": "s",
+                      "vs_baseline": None}))
+
+
 def main():
     import jax
     cache_dir = os.path.join(CACHE, "xla")
@@ -338,6 +596,9 @@ def main():
     if "--scale" in sys.argv:
         run_scale()
         return
+    if "--stream" in sys.argv:
+        run_stream()
+        return
 
     import jax.numpy as jnp
     import mendeliht_tpu as m
@@ -347,6 +608,9 @@ def main():
     if "--suite" in sys.argv:
         rows = run_suite(g, y, causal, beta)
         print(json.dumps(rows[0]))
+        return
+    if "--flagship" in sys.argv:
+        run_flagship(g, y)
         return
 
     def run():

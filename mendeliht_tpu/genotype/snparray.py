@@ -55,23 +55,42 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _bytes_to_words(packed: np.ndarray) -> np.ndarray:
-    """(p, n4) uint8 -> (p, n4//4) int32 little-endian view (zero-copy when
-    contiguous). Matches jax.lax.bitcast_convert_type byte order (which is
-    little-endian on TPU): the explicit '<i4' dtype keeps the word layout
-    correct even on a big-endian host, where a native view would silently
-    scramble the kernel's shift map."""
+    """(p, n4) uint8 -> (p4 = ceil(p/4), n4) int32 SNP-QUAD words.
+
+    Canonical device storage (round 4; replaces the plain row-major word
+    view): byte ``k`` of word ``words[i, w]`` is byte ``w`` of SNP ``4i+k``
+    (little-endian, so SNP 4i+0 is the low byte).  Why: the score kernel
+    bitcasts a (tpq, tw) i32 tile to (4*tpq, tw) i8 — Mosaic's i32->i8
+    bitcast expands the SUBLANE dim with exactly this word-major byte order —
+    so the four SNPs of each quad become four operand rows while the
+    contraction stays on the byte (sample-block) lanes.  One ``(w >> 2q) &
+    0x03030303`` then yields crumb-plane q of FOUR SNP rows at once: the
+    whole 2-bit decode costs ~12 VPU lane-ops per 16 genotypes instead of
+    the previous per-crumb extraction's ~52 (see ops/pallas_kernels.py).
+    SNP gathers stay contiguous row gathers (quad row + byte select).
+    Rows past p (when p % 4 != 0) are zero bytes (additive value 0, inert).
+
+    The explicit '<i4' dtype keeps the layout correct on any host."""
     packed = np.ascontiguousarray(packed)
     p, n4 = packed.shape
-    return packed.view(np.dtype("<i4")).reshape(p, n4 // 4)
+    p4 = -(-p // 4)
+    if p4 * 4 != p:
+        packed = np.concatenate(
+            [packed, np.zeros((p4 * 4 - p, n4), np.uint8)], axis=0)
+    quad = np.ascontiguousarray(
+        packed.reshape(p4, 4, n4).transpose(0, 2, 1))        # (p4, n4, 4)
+    return quad.view(np.dtype("<i4")).reshape(p4, n4)
 
 
-def _words_to_bytes(words: np.ndarray) -> np.ndarray:
-    """Inverse host view: (p, nw) int32 -> (p, 4*nw) uint8 (zero-copy when
-    contiguous, little-endian byte order)."""
+def _words_to_bytes(words: np.ndarray, p: int | None = None) -> np.ndarray:
+    """Inverse host transform: (p4, n4) int32 quad words -> (p, n4) uint8
+    crumb-transposed byte rows (copies; the quad interleave is not a view)."""
     words = np.ascontiguousarray(
         np.asarray(words).astype(np.dtype("<i4"), copy=False))
-    p, nw = words.shape
-    return words.view(np.uint8).reshape(p, 4 * nw)
+    p4, n4 = words.shape
+    by = words.view(np.uint8).reshape(p4, n4, 4).transpose(0, 2, 1)
+    out = np.ascontiguousarray(by).reshape(4 * p4, n4)
+    return out if p is None else out[:p]
 
 
 def pack_codes(codes: np.ndarray, n4: int | None = None) -> np.ndarray:
@@ -130,7 +149,7 @@ class PackedGenotypes:
     byte view is available as the (derived) ``packed`` property.
     """
 
-    words: jnp.ndarray       # (p, n4//4) int32, crumb-transposed bytes
+    words: jnp.ndarray       # (ceil(p/4), n4) int32 SNP-quad words
     mu: jnp.ndarray          # (p,) observed mean additive value
     inv_sd: jnp.ndarray      # (p,) 1/sd, or 0 where sd == 0
     n: int                   # true sample count (static)
@@ -159,19 +178,21 @@ class PackedGenotypes:
 
     @property
     def packed(self) -> jnp.ndarray:
-        """(p, n4) uint8 byte view of the storage (derived; the XLA oracle
-        path and host-side unpackers consume bytes)."""
+        """(p, n4) uint8 crumb-transposed byte rows (derived from the quad
+        words by a device transpose COPY — XLA oracle path / tests only;
+        production kernels consume `words` directly)."""
         w = self.words
-        return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(
-            w.shape[0], 4 * w.shape[1])
+        p4, n4 = w.shape
+        by = jax.lax.bitcast_convert_type(w, jnp.uint8)      # (p4, n4, 4)
+        return jnp.transpose(by, (0, 2, 1)).reshape(4 * p4, n4)[:self.p]
 
     @property
     def n4(self) -> int:
-        return 4 * self.words.shape[1]
+        return self.words.shape[1]
 
     @property
     def n_pad(self) -> int:
-        return 16 * self.words.shape[1]
+        return 4 * self.words.shape[1]
 
     @property
     def dtype(self):
@@ -247,9 +268,9 @@ class PackedGenotypes:
 
     # -- host-side dense views (tests / small problems) --------------------
     def packed_np(self) -> np.ndarray:
-        """(p, n4) uint8 host byte view of the word storage (one device
-        fetch, zero-copy reinterpret)."""
-        return _words_to_bytes(np.asarray(self.words))
+        """(p, n4) uint8 host byte rows of the quad-word storage (one device
+        fetch + host de-interleave)."""
+        return _words_to_bytes(np.asarray(self.words), self.p)
 
     def to_codes(self) -> np.ndarray:
         """(n, p) uint8 codes (sample-major)."""
@@ -346,9 +367,11 @@ def grm(x: PackedGenotypes, method: str = "GRM",
     inv = np.asarray(x.inv_sd, dtype=np.float64)
     inv = np.where(inv == 0, 1.0, inv)
     G = np.zeros((n, n))
+    chunk = _ceil_to(chunk, 4)          # quad-word rows hold 4 SNPs each
     for lo in range(0, p, chunk):
         hi = min(lo + chunk, p)
-        codes = unpack_codes(_words_to_bytes(words[lo:hi]), n)   # (c, n)
+        codes = unpack_codes(
+            _words_to_bytes(words[lo // 4:-(-hi // 4)], hi - lo), n)  # (c, n)
         vals = codes_to_values(codes)                            # NaN missing
         m = mu[lo:hi][:, None]
         Z = (np.where(np.isnan(vals), m, vals) - m) * inv[lo:hi][:, None]

@@ -86,15 +86,20 @@ def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
 
 
 def take_rows_bytes(words: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather SNP rows from the canonical int32-word storage -> (B, S, n4) u8.
+    """Gather SNP rows from the canonical quad-word storage -> (B, S, n4) u8.
 
-    The gather runs on the int32 array (natural TPU layout); only the small
-    (B*S, nw) gathered block is bitcast to bytes.  Deriving the full byte view
-    first (PackedGenotypes.packed) would relayout-copy the whole matrix."""
+    SNP j lives in byte ``j % 4`` of quad-word row ``j // 4``
+    (genotype/snparray.py): the gather is a contiguous row gather on the
+    int32 array (natural TPU layout) followed by a per-row byte select —
+    only the small (B*S, n4) gathered block is ever decoded.  Deriving the
+    full byte view first (PackedGenotypes.packed) would transpose-copy the
+    whole matrix."""
     B, S = idx.shape
-    g = words[idx.reshape(-1)]                              # (B*S, nw) int32
-    by = jax.lax.bitcast_convert_type(g, jnp.uint8)         # (B*S, nw, 4)
-    return by.reshape(B, S, 4 * words.shape[1])
+    flat = idx.reshape(-1)
+    g = words[flat // 4]                                    # (B*S, n4) int32
+    shift = ((flat % 4) * 8).astype(jnp.int32)[:, None]
+    return (((g >> shift) & 0xFF).astype(jnp.uint8)
+            ).reshape(B, S, words.shape[1])
 
 
 @functools.partial(jax.jit, static_argnames=("want_missing", "dtype"))

@@ -84,7 +84,7 @@ class PackedOp:
         if _use_pallas():
             from . import pallas_kernels as pk
             return pk.xt_dots_words(g.words, RT, want_missing=g.has_missing,
-                                    want_sq=want_sq)
+                                    want_sq=want_sq, p=g.p)
         return decode.xt_dots(g.packed, RT, want_missing=g.has_missing,
                               want_sq=want_sq)
 

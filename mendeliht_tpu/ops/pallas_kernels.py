@@ -5,61 +5,47 @@ SnpLinAlg mul!, SURVEY.md §2.10): every iteration reads the whole packed
 matrix once.  This kernel fuses in-register 2-bit decode with the sample-axis
 contraction so the packed bytes are read from HBM exactly once per pass:
 
-    HBM (p, nw) int32 --DMA--> VMEM tile --word recode+shift decode--> {0,1,2}
-        --int8 MXU dot--> int32 accumulators --digit combine--> (m, p) f32
+    HBM (p4, n4) i32 quad words --DMA--> VMEM tile --4 crumb-plane extracts
+        + sublane bitcast--> int8 {0,1,2} --int8 MXU dot--> int32 accumulators
+        --digit combine--> (m, p) f32
 
-Word-packed decode (the key to VPU efficiency): the (p, n4) uint8 buffer is
-bitcast to (p, n4/4) int32 *words* so every bitwise op processes 4 bytes
-(16 genotypes) per 32-bit VPU lane.  PLINK crumb c (hi = c>>1, lo = c&1) has
-value hi + (hi&lo) and missing = lo & ~hi; the per-word recode
-``w = h + (h & t)`` with ``h = (t >> 1) & 0x55555555`` value-codes all 16
-crumbs in 4 lane-ops.  Each of the 16 decode *rounds* (s, b) then extracts
-one crumb per word — ``(w >> (2s + 8b)) & 3`` — and feeds the MXU.
+Byte-plane decode over SNP-QUAD words (round 4; replaces the round-3
+16-round per-crumb extraction): the canonical storage packs the bytes of
+FOUR consecutive SNPs into each int32 word (byte k of ``words[i, w]`` =
+crumb-transposed byte ``w`` of SNP ``4i+k``; genotype/snparray.py).  In the
+kernel, one ``xq = (w >> 2q) & 0x03030303`` extracts crumb-plane q of all
+four SNPs at once, and ``pltpu.bitcast(xq, int8)`` — which expands the
+SUBLANE dim 4x in exactly word-major byte order — turns the (tpq, tw) i32
+tile into a (4*tpq, tw) i8 operand whose rows are SNPs and whose lanes are
+the contraction (sample-block) axis.  Decode cost: 4 recode + 4x2 extract
+= ~12 VPU lane-ops per 16 genotypes, vs ~52 for the previous design
+(16 rounds x shift+mask+i8-convert), and 4 big MXU dots per tile instead
+of 16 small ones.  Measured on the v5e (tools/kernel_lab.py, 10k x 1M,
+honest RTT-corrected harness): m=1 20.1 -> 5.2 ms/pass vs the 3.4 ms pure
+DMA floor at the 750 GB/s Pallas-measured stream ceiling.
 
-int8 MXU path (round 3; replaces the round-2 bf16 hi/lo design): decoded
-values {0,1,2} are int8-exact, and the rhs is quantized to three int8
-*digit* planes ``r ~= scale * (hi*16384 + mid*128 + lo)`` with per-column
-scale = max|r| / 2^20 and every digit in [-64, 64].  The dots accumulate
-exactly in int32 (|acc| <= 2*64*n < 2^31 up to n = 160M samples) and one
-f32 digit-combine per output tile reconstructs the value.  Why it wins on
-both ends of the m axis (committed v5e numbers: ROOFLINE.json, regenerated
-by tools/roofline.py on the 10k x 1M problem):
+Crumb decode algebra (per byte, all four SNPs in parallel): PLINK crumb c
+(hi = c>>1, lo = c&1) has additive value hi + (hi&lo) and missing = lo&~hi;
+the word-level recode ``w = h + (h & t)`` with ``h = (t >> 1) & 0x55...5``
+value-codes all 16 crumbs in 4 lane-ops; crumbs never cross byte
+boundaries, so the recode commutes with the quad-byte interleave.
 
-  * m = 1 (single fit, VPU-decode-bound): 3 int8 rows replace 2 bf16 rows
-    and int8 converts are cheaper than bf16 converts — 9.5 ms -> 7.7 ms
-    (331 GB/s = 78.7% of the ~420 GB/s measured stream ceiling; a pure
-    XOR-read of the same array runs 5.9 ms, so decode adds only ~1.8 ms).
-  * m >= ~32 (cross-validation batches, MXU-bound): 3m int8 rows at the
-    MXU's 394 TOPS int8 rate beat 2m bf16 rows at 197 TFLOP/s — m=64:
-    17.0 -> 13.8 ms, 72% of the int8-MXU compute floor (bytes/s is the
-    wrong lens here — see the dma/mxu floor fields in ROOFLINE.json), and
-    a reference-shaped cv batch (m = 100 = q*|path|) runs in ONE words
-    pass (21.6 ms) thanks to the VMEM-resident rhs planes.
-
-Accuracy: 21 significant bits relative to each column's max — measured
-~5e-6 relative error on the full X'R pass, comparable to the previous bf16
-hi/lo split (~1e-6) and far inside the solver's 1e-4 convergence tolerance;
-tests/test_pallas.py pins it below 2e-5.
-
-Sample mapping: with the crumb-transposed layout (genotype/snparray.py),
-byte b' of SNP row j holds crumb s of sample ``s*n4 + b'``; word w packs
-bytes 4w..4w+3, so round (s, b) of word w is sample ``s*n4 + 4w + b``.  The
-rhs digit planes are pre-restrided into (16, rows, nw) round-planes outside
-the kernel — no gathers inside.
-
-Orientation: the dots run as (rows, tw) x (tp, tw) -> (rows, tp), i.e. the
-*small* task axis maps to MXU sublanes and the big SNP axis fills the 128
-lanes.  The naive orientation pads m up to 128 lanes and is ~3x slower for
-the single-fit m=1..2 case.
+int8 MXU path: decoded values {0,1,2} are int8-exact, and the rhs is
+quantized to three int8 *digit* planes ``r ~= scale * (hi*16384 + mid*128
++ lo)`` with per-column scale = max|r| / 2^20 and every digit in [-64, 64].
+The dots accumulate exactly in int32 (|acc| <= 2*64*n < 2^31 up to n =
+160M samples) and one f32 digit-combine per output tile reconstructs the
+value.  Accuracy: 21 significant bits relative to each column's max —
+tests/test_pallas.py pins parity with the f32 XLA oracle below 2e-5.
 
 The multi-RHS design is the point: cross-validation batches (m = q*|path|
-tasks) and multivariate traits ride the `m` axis, so the decode cost is paid
-once for the whole batch.  The full digit planes for an m-chunk are
-VMEM-RESIDENT (constant block index, fetched once) and each grid step slices
-its reduction window out of them, so the words are the only O(p) HBM
-traffic; (tw, mc) are picked jointly from an explicit VMEM byte budget to
-minimize full passes over the words (a reference-shaped cv batch m = 100
-fits ONE chunk) — no shape can blow VMEM at compile time.
+tasks) and multivariate traits ride the `m` axis, so the decode cost is
+paid once for the whole batch.  The digit planes for an m-chunk are
+VMEM-RESIDENT (constant block index, fetched once) and each grid step
+slices its reduction window out of them, so the words are the only O(p)
+HBM traffic; (tw, mc) are picked jointly from an explicit VMEM byte budget
+to minimize full passes over the words (a reference-shaped cv batch
+m = 100 fits ONE chunk) — no shape can blow VMEM at compile time.
 """
 
 from __future__ import annotations
@@ -71,34 +57,38 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# tile sizes: TP SNP rows x TW packed int32 words (= 4*TW bytes, 16*TW crumbs)
+# tile sizes: TP SNPs (= TP/4 quad-word sublanes) x TW packed bytes (lanes)
 _TP = 1024
-# total VMEM working-set target (v5e has ~16 MiB/core; tp=2048 at m=64,
-# ~16.4 MiB with double-buffering, is an empirically confirmed Mosaic
-# compile failure — keep headroom)
+# total VMEM working-set target (v5e has ~16 MiB/core; keep headroom for
+# Mosaic's own buffers — an over-budget pick is an empirical compile failure)
 _VMEM_BUDGET = 12 * 2**20
 # test hook: force a small m-chunk regardless of the budget
 _FORCE_M_CHUNK = None
 
 
-def _pick_tiles(nw: int, tp: int, m: int, n_acc: int):
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pick_tiles(n4: int, tp: int, m: int, n_acc: int):
     """Joint (tw, mc) choice minimizing full HBM passes over the words.
 
     The rhs digit planes for a whole m-chunk stay VMEM-RESIDENT for the
     entire kernel (constant block index — fetched once, single-buffered),
-    and each grid step slices its tw-word window out of them, so shrinking
+    and each grid step slices its tw-byte window out of them, so shrinking
     tw costs no extra rhs traffic.  Every m-chunk beyond the first re-reads
     the full packed matrix from HBM, so the picker prefers the fewest
     chunks, then the largest reduction tile.  VMEM accounting per chunk:
-    double-buffered (tp, tw) words, resident (16, 3*mc, nw_pad) int8 rhs,
-    n_acc int32 accumulators (3*mc, tp), and n_acc revolving f32 output
-    tiles (mc, tp) (ADVICE r2 #1: budget from bytes, never a fixed cap)."""
+    double-buffered (tp/4, tw) i32 words tile, resident (4, 3*mc, n4_pad)
+    int8 rhs, n_acc int32 accumulators (3*mc, tp), and n_acc revolving f32
+    output tiles (mc, tp)."""
+    tpq = tp // 4
     best = None
-    for tw in sorted({min(nw, t) for t in (nw, 2048, 1024, 512, 256, 128)},
+    for tw in sorted({min(n4, t) for t in (n4, 8192, 4096, 2048, 1024, 512)},
                      reverse=True):
-        nw_pad = _cdiv(nw, tw) * tw
-        fixed = 2 * tp * tw * 4
-        per_mc = 16 * 3 * nw_pad + n_acc * (3 * tp * 4 + 2 * tp * 4)
+        n4_pad = _cdiv(n4, tw) * tw
+        fixed = 2 * tpq * tw * 4
+        per_mc = 12 * n4_pad + n_acc * (3 * tp * 4 + 2 * tp * 4)
         mc = min((_VMEM_BUDGET - fixed) // per_mc, 256)
         if mc < 1:
             continue
@@ -107,15 +97,11 @@ def _pick_tiles(nw: int, tp: int, m: int, n_acc: int):
         if best is None or cand < best:
             best = cand
     if best is None:  # pathological shapes: smallest tiles, let Mosaic try
-        return 128, 8
+        return 512, 8
     chunks, neg_tw, mc = best
     if _FORCE_M_CHUNK is not None:
         mc = _FORCE_M_CHUNK
     return -neg_tw, mc
-
-
-def _cdiv(a, b):
-    return -(-a // b)
 
 
 def _quantize_rhs_planes(rhs):
@@ -139,28 +125,28 @@ def _quantize_rhs_planes(rhs):
     return planes, scale
 
 
-def _rounds_restride(planes, nw, tw):
-    """(rows, 16*nw) sample-ordered -> (16, rows, nw_pad) round-planes.
+def _crumb_restride(planes, n4, tw):
+    """(rows, n_pad = 4*n4) sample-ordered -> (4, rows, n4_pad) crumb planes.
 
-    Round r = (s = r%4, b = r//4): plane element w = sample s*n4 + 4w + b,
-    so planes are ordered [b, s] -> flat index 4b + s == r.  The zero tail
-    (nw_pad - nw words) annihilates garbage decoded from out-of-bounds
-    words on the reduction tail."""
+    Crumb-plane q of byte w is sample ``q*n4 + w`` (the crumb-transposed
+    byte layout), so plane q is simply the contiguous sample slice
+    [q*n4, (q+1)*n4).  The zero tail (n4_pad - n4 lanes) annihilates
+    garbage decoded from out-of-bounds bytes on the reduction tail."""
     rows = planes.shape[0]
-    nw_pad = _cdiv(nw, tw) * tw
-    r = jnp.transpose(planes.reshape(rows, 4, nw, 4),    # [m, s, w, b]
-                      (3, 1, 0, 2)).reshape(16, rows, nw)
-    if nw_pad != nw:
-        r = jnp.pad(r, ((0, 0), (0, 0), (0, nw_pad - nw)))
+    n4_pad = _cdiv(n4, tw) * tw
+    r = jnp.transpose(planes.reshape(rows, 4, n4), (1, 0, 2))
+    if n4_pad != n4:
+        r = jnp.pad(r, ((0, 0), (0, 0), (0, n4_pad - n4)))
     return r
 
 
 def _kernel(words_ref, rhs_ref, scale_ref, *refs, want_missing, want_sq, tw):
     """refs = out_refs [A, M?, S?] then scratch accs [a, m?, h?].
 
-    rhs_ref holds the FULL (16, 3mc, nw_pad) digit planes (constant block
-    index — VMEM-resident across the whole kernel); each grid step slices
-    its (3mc, tw) reduction window at j*tw."""
+    words_ref: (tpq, tw) i32 quad words; rhs_ref holds the FULL
+    (4, 3mc, n4_pad) digit planes (constant block index — VMEM-resident
+    across the whole kernel); each grid step slices its (3mc, tw) reduction
+    window at j*tw."""
     n_out = 1 + int(want_missing) + int(want_sq)
     out_refs = refs[:n_out]
     acc_refs = refs[n_out:]
@@ -185,22 +171,23 @@ def _kernel(words_ref, rhs_ref, scale_ref, *refs, want_missing, want_sq, tw):
     acc_a = next(it)[:]
     acc_m = next(it)[:] if want_missing else None
     acc_h = next(it)[:] if want_sq else None
-    dn = (((1,), (1,)), ((), ()))         # (rows, K) x (tp, K) -> (rows, tp)
-    for r in range(16):                   # round r = (s, b): shift 2s + 8b
-        shift = 2 * (r % 4) + 8 * (r // 4)
-        val = ((w >> shift) & 0x3).astype(jnp.int8)      # (tp, tw)
-        rhs_r = rhs_ref[r, :, pl.ds(j * tw, tw)]         # (3mc, tw) int8
+    dn = (((1,), (1,)), ((), ()))         # (3mc, tw) x (tp, tw) -> (3mc, tp)
+    for q in range(4):                    # crumb-plane q = samples q*n4 + w
+        rhs_q = rhs_ref[q, :, pl.ds(j * tw, tw)]              # (3mc, tw) i8
+        # (tpq, tw) i32 -> (4*tpq, tw) i8: sublane-expanding bitcast puts
+        # byte k (= SNP 4i+k) in row 4i+k — SNPs on MXU output lanes
+        vq = pltpu.bitcast((w >> (2 * q)) & 0x03030303, jnp.int8)
         acc_a = acc_a + jax.lax.dot_general(
-            rhs_r, val, dn, preferred_element_type=jnp.int32)
+            rhs_q, vq, dn, preferred_element_type=jnp.int32)
         if want_missing:
-            miss = ((m16 >> shift) & 0x1).astype(jnp.int8)
+            mq = pltpu.bitcast((m16 >> (2 * q)) & 0x01010101, jnp.int8)
             acc_m = acc_m + jax.lax.dot_general(
-                rhs_r, miss, dn, preferred_element_type=jnp.int32)
+                rhs_q, mq, dn, preferred_element_type=jnp.int32)
         if want_sq:
             # h-bit == [value >= 1]; with v in {0,1,2}: v^2 = 3v - 2*[v>=1]
-            hb = ((h >> shift) & 0x1).astype(jnp.int8)
+            hq = pltpu.bitcast((h >> (2 * q)) & 0x01010101, jnp.int8)
             acc_h = acc_h + jax.lax.dot_general(
-                rhs_r, hb, dn, preferred_element_type=jnp.int32)
+                rhs_q, hq, dn, preferred_element_type=jnp.int32)
     it = iter(acc_refs)
     next(it)[:] = acc_a
     if want_missing:
@@ -227,42 +214,43 @@ def _kernel(words_ref, rhs_ref, scale_ref, *refs, want_missing, want_sq, tw):
             out_refs[k][:] = 3.0 * A - 2.0 * comb(acc_h)
 
 
-def _xt_dots_chunk(words, rounds_i8, scale, *, want_missing, want_sq, tp, tw,
+def _xt_dots_chunk(words, crumbs_i8, scale, *, want_missing, want_sq, tp, tw,
                    interpret=False):
-    """words (p, nw) int32, rounds_i8 (16, 3*mc, nw_pad) int8, scale (mc,)
-    -> (A, M, S) each (mc, p) f32.
+    """words (p4, n4) i32, crumbs_i8 (4, 3*mc, n4_pad) i8, scale (mc,)
+    -> (A, M, S) each (mc, 4*p4) f32.
 
-    Edge tiles of `words` (p % tp rows, nw % tw cols) are partial: Pallas
+    Edge tiles of `words` (p4 % tpq rows, n4 % tw lanes) are partial: Pallas
     masks the stores, and garbage decodes on the reduction tail are
     annihilated by the rhs zero padding."""
-    p, nw = words.shape
-    mc = rounds_i8.shape[1] // 3
-    nw_pad = rounds_i8.shape[2]
-    grid = (_cdiv(p, tp), _cdiv(nw, tw))
+    p4, n4 = words.shape
+    tpq = tp // 4
+    mc = crumbs_i8.shape[1] // 3
+    n4_pad = crumbs_i8.shape[2]
+    grid = (_cdiv(p4, tpq), _cdiv(n4, tw))
     in_specs = [
-        pl.BlockSpec((tp, tw), lambda i, j: (i, j)),
+        pl.BlockSpec((tpq, tw), lambda i, j: (i, j)),
         # constant block index: the full digit planes are DMA'd once and stay
         # VMEM-resident; the kernel slices its (3mc, tw) window per grid step
-        pl.BlockSpec((16, 3 * mc, nw_pad), lambda i, j: (0, 0, 0)),
+        pl.BlockSpec((4, 3 * mc, n4_pad), lambda i, j: (0, 0, 0)),
         pl.BlockSpec((mc, 1), lambda i, j: (0, 0)),
     ]
     out_spec = pl.BlockSpec((mc, tp), lambda i, j: (0, i))
     n_out = 1 + int(want_missing) + int(want_sq)
-    flops = 2 * p * 16 * nw * 3 * mc * n_out
+    flops = 2 * 4 * p4 * 4 * n4 * 3 * mc * n_out
     cost = pl.CostEstimate(
         flops=flops,
-        bytes_accessed=p * nw * 4 + 16 * nw_pad * 3 * mc + p * mc * 4 * n_out,
+        bytes_accessed=p4 * n4 * 4 + 12 * n4_pad * mc + 4 * p4 * mc * 4 * n_out,
         transcendentals=0)
     kern = functools.partial(_kernel, want_missing=want_missing,
                              want_sq=want_sq, tw=tw)
     outs = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=(out_spec,) * n_out,
-        out_shape=(jax.ShapeDtypeStruct((mc, p), jnp.float32),) * n_out,
+        out_shape=(jax.ShapeDtypeStruct((mc, 4 * p4), jnp.float32),) * n_out,
         scratch_shapes=[pltpu.VMEM((3 * mc, tp), jnp.int32)] * n_out,
         cost_estimate=cost,
         interpret=interpret,
-    )(words, rounds_i8, scale[:, None])
+    )(words, crumbs_i8, scale[:, None])
     it = iter(outs)
     return (next(it),
             next(it) if want_missing else None,
@@ -270,30 +258,30 @@ def _xt_dots_chunk(words, rounds_i8, scale, *, want_missing, want_sq, tp, tw,
 
 
 @functools.partial(jax.jit, static_argnames=("want_missing", "want_sq", "tp",
-                                             "tw", "interpret"))
+                                             "tw", "interpret", "p"))
 def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
                   want_sq: bool = False, tp: int = _TP, tw: int | None = None,
-                  interpret: bool = False):
-    """Fused decode + multi-RHS dots over the canonical int32-word storage.
+                  interpret: bool = False, p: int | None = None):
+    """Fused decode + multi-RHS dots over the canonical quad-word storage.
 
-    words (p, nw) int32 (= PackedGenotypes.words); rhs (16*nw, m) float.
-    Returns (A, M, S): (p, m) value dot, missing dot (or None), squared-value
-    dot (or None), all f32.
+    words (p4, n4) int32 (= PackedGenotypes.words); rhs (4*n4, m) float.
+    Returns (A, M, S): value dot, missing dot (or None), squared-value dot
+    (or None), all f32 with leading dim ``p`` (pass it to slice off the
+    quad-padding rows 4*p4 - p; default keeps them — they are inert zeros).
 
-    The big words matrix passes through untouched: partial edge tiles (p % tp,
-    nw % tw) are handled by Pallas masked loads/stores, and out-of-bounds
-    words decode to finite garbage in {0..3} which is annihilated by the
-    zero-padded rhs along the reduction axis, so no O(p*nw) pad or relayout
-    copy is ever made per pass.  Only the small int8 digit planes are
-    restrided per call.
+    The big words matrix passes through untouched: partial edge tiles are
+    handled by Pallas masked loads/stores, and out-of-bounds bytes decode to
+    finite garbage in {0..3} which is annihilated by the zero-padded rhs
+    along the reduction axis, so no O(p*n4) pad or relayout copy is ever
+    made per pass.  Only the small int8 digit planes are restrided per call.
 
     NaN/Inf rhs columns (a failed cv task's residual) would quantize to
     finite garbage and silently un-fail the task; ``0 * colsum`` re-poisons
     every output row so NaN propagates exactly like the f32 oracle."""
-    p, nw = words.shape
+    p4, n4 = words.shape
     m = rhs.shape[1]
     n_acc = 1 + int(want_missing) + int(want_sq)
-    tw_pick, mc = _pick_tiles(nw, tp, m, n_acc)
+    tw_pick, mc = _pick_tiles(n4, tp, m, n_acc)
     if tw is None:
         tw = tw_pick
     planes, scale = _quantize_rhs_planes(rhs)            # (3m, n_pad), (m,)
@@ -304,7 +292,7 @@ def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
         hi = min(lo + mc, m)
         chunk = jnp.concatenate([planes[lo:hi], planes[m + lo:m + hi],
                                  planes[2 * m + lo:2 * m + hi]], axis=0)
-        rr = _rounds_restride(chunk, nw, tw)             # (16, 3c, nw_pad)
+        rr = _crumb_restride(chunk, n4, tw)              # (4, 3c, n4_pad)
         o = _xt_dots_chunk(words, rr, scale[lo:hi],
                            want_missing=want_missing, want_sq=want_sq,
                            tp=tp, tw=tw, interpret=interpret)
@@ -314,7 +302,8 @@ def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
 
     def merge(parts):
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        return (out + nan_guard[:, None]).T              # (p, m)
+        out = (out + nan_guard[:, None]).T               # (4*p4, m)
+        return out if p is None else out[:p]
 
     A = merge(outs[0])
     M = merge(outs[1]) if want_missing else None
@@ -327,11 +316,15 @@ def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
             interpret: bool = False):
     """Byte-view wrapper with the decode.xt_dots contract (tests/oracles).
 
-    packed (p, n4) uint8 with n4 % 4 == 0; rhs (4*n4, m) float.  Production
-    callers should pass the canonical word storage to :func:`xt_dots_words`
-    instead — this wrapper's u8->i32 bitcast costs a relayout copy on TPU."""
+    packed (p, n4) uint8 crumb-transposed rows; rhs (4*n4, m) float.
+    Production callers should pass the canonical quad-word storage to
+    :func:`xt_dots_words` instead — this wrapper quad-packs on device."""
     p, n4 = packed.shape
-    words = jax.lax.bitcast_convert_type(
-        packed.reshape(p, n4 // 4, 4), jnp.int32)
+    p4 = _cdiv(p, 4)
+    if 4 * p4 != p:
+        packed = jnp.pad(packed, ((0, 4 * p4 - p), (0, 0)))
+    quad = jnp.transpose(packed.reshape(p4, 4, n4), (0, 2, 1))
+    words = jax.lax.bitcast_convert_type(quad, jnp.int32)    # (p4, n4)
     return xt_dots_words(words, rhs, want_missing=want_missing,
-                         want_sq=want_sq, tp=tp, tw=tw, interpret=interpret)
+                         want_sq=want_sq, tp=tp, tw=tw, interpret=interpret,
+                         p=p)

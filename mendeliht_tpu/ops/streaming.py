@@ -43,7 +43,7 @@ class HostStreamedGenotypes:
     through the device block-by-block.  Same statistics/layout contract as
     :class:`PackedGenotypes`; `mu`/`inv_sd` are small and live on device."""
 
-    words_np: np.ndarray          # (p, nw) int32, host
+    words_np: np.ndarray          # (ceil(p/4), n4) int32 quad words, host
     mu: jnp.ndarray               # (p,) device
     inv_sd: jnp.ndarray           # (p,) device
     n: int
@@ -53,12 +53,13 @@ class HostStreamedGenotypes:
 
     @property
     def n_pad(self) -> int:
-        return 16 * self.words_np.shape[1]
+        return 4 * self.words_np.shape[1]
 
     @property
     def block_p(self) -> int:
-        nw = self.words_np.shape[1]
-        return max(1, int(self.block_bytes) // (nw * 4))
+        """SNPs per streamed block (multiple of 4: whole quad-word rows)."""
+        n4 = self.words_np.shape[1]
+        return 4 * max(1, int(self.block_bytes) // (n4 * 4))
 
     def __repr__(self):
         return (f"HostStreamedGenotypes(n={self.n}, p={self.p}, "
@@ -108,11 +109,14 @@ class StreamedPackedOp:
 
     # ---------------------------------------------------------------- blocks
     def _block_op(self, lo: int, hi: int) -> "object":
-        """HBM-resident PackedOp over SNP rows [lo, hi): one streamed block."""
+        """HBM-resident PackedOp over SNP rows [lo, hi): one streamed block.
+        `lo` is always a multiple of 4 (block_p is), so the block starts on
+        a quad-word row boundary."""
         from .linalg import PackedOp
         g = self.geno
         blk = PackedGenotypes(
-            words=jax.device_put(np.ascontiguousarray(g.words_np[lo:hi])),
+            words=jax.device_put(np.ascontiguousarray(
+                g.words_np[lo // 4:-(-hi // 4)])),
             mu=g.mu[lo:hi], inv_sd=g.inv_sd[lo:hi],
             n=g.n, p=hi - lo, has_missing=g.has_missing,
             maf_=None, n_missing=None)
@@ -153,14 +157,17 @@ class StreamedPackedOp:
 
     # ------------------------------------------------------- sparse products
     def _rows_bytes(self, idx: jnp.ndarray) -> jnp.ndarray:
-        """Gather S SNP rows from HOST words -> (B, S, n4) u8 on device."""
+        """Gather S SNP rows from HOST quad words -> (B, S, n4) u8 on device
+        (quad row gather + per-row byte select, like decode.take_rows_bytes)."""
         g = self.geno
         idx_np = np.asarray(idx)
-        rows = g.words_np[idx_np.reshape(-1)]             # host fancy-index
-        rows_d = jax.device_put(rows)                      # (B*S, nw) i32
-        by = jax.lax.bitcast_convert_type(rows_d, jnp.uint8)
+        flat = idx_np.reshape(-1)
+        rows = g.words_np[flat // 4]                       # host fancy-index
+        rows_d = jax.device_put(rows)                      # (B*S, n4) i32
+        sh = jnp.asarray((flat % 4) * 8, jnp.int32)[:, None]
+        by = ((rows_d >> sh) & 0xFF).astype(jnp.uint8)
         B, S = idx_np.shape
-        return by.reshape(B, S, 4 * g.words_np.shape[1])
+        return by.reshape(B, S, g.words_np.shape[1])
 
     def forward_sel(self, idx: jnp.ndarray, coef: jnp.ndarray,
                     valid: jnp.ndarray) -> jnp.ndarray:

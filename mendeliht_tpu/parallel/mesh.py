@@ -54,14 +54,17 @@ def pad_geno_rows(geno, n_shards: int):
     import dataclasses
     import jax.numpy as jnp
     p = geno.p
-    per = -(-p // n_shards)
-    p_pad = per * n_shards
+    per = -(-(-(-p // n_shards)) // 4) * 4   # mult of 4: shards own whole
+    p_pad = per * n_shards                   # quad-word rows
     if p_pad == p:
         return geno
+    extra_q = p_pad // 4 - geno.words.shape[0]
+    words = geno.words
+    if extra_q > 0:
+        words = jnp.concatenate(
+            [words, jnp.zeros((extra_q, words.shape[1]), words.dtype)],
+            axis=0)
     extra = p_pad - p
-    words = jnp.concatenate(
-        [geno.words, jnp.zeros((extra, geno.words.shape[1]),
-                               geno.words.dtype)], axis=0)
     mu = jnp.concatenate([geno.mu, jnp.zeros(extra, geno.mu.dtype)])
     inv = jnp.concatenate([geno.inv_sd, jnp.zeros(extra, geno.inv_sd.dtype)])
     return dataclasses.replace(geno, words=words, mu=mu, inv_sd=inv,

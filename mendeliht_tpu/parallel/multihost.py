@@ -74,9 +74,11 @@ def make_global_mesh(n_task: int | None = None,
 
 def shard_rows(p: int, n_shards: int):
     """(p_pad, per-shard row ranges): equal-sized shards (jax requires even
-    splits along a sharded axis). Padding rows carry inv_sd == 0 so they are
-    inert in every product; callers strip them via the true `p`."""
-    per = -(-p // n_shards)
+    splits along a sharded axis), rounded to multiples of 4 so every shard
+    owns whole quad-word rows (genotype/snparray.py layout). Padding rows
+    carry inv_sd == 0 so they are inert in every product; callers strip
+    them via the true `p`."""
+    per = -(-(-(-p // n_shards)) // 4) * 4
     return per * n_shards, [(min(i * per, p), min((i + 1) * per, p))
                             for i in range(n_shards)]
 
@@ -110,7 +112,6 @@ def load_bed_shard(prefix: str, mesh: Mesh, dtype=jnp.float32,
     p_pad, ranges = shard_rows(p, ns)
     per = p_pad // ns
     n4 = _ceil_to(bpr, _LANE)
-    nw = n4 // 4
     np_dtype = np.dtype(dtype)
 
     # local repack: every snp-shard coordinate owned by one of this process's
@@ -122,10 +123,11 @@ def load_bed_shard(prefix: str, mesh: Mesh, dtype=jnp.float32,
                     if devarr[t, s].process_index == pid})
     blocks = {}
     local_missing = 0
+    per4 = per // 4          # quad-word rows per shard (per is a mult of 4)
     for s in owned:
         lo, hi = ranges[s]
         rows = hi - lo
-        w = np.zeros((per, nw), np.int32)
+        w = np.zeros((per4, n4), np.int32)
         mu = np.zeros(per, np_dtype)
         inv = np.zeros(per, np_dtype)
         if rows > 0:
@@ -133,7 +135,7 @@ def load_bed_shard(prefix: str, mesh: Mesh, dtype=jnp.float32,
                 f.seek(3 + lo * bpr)
                 raw = np.frombuffer(f.read(rows * bpr), np.uint8)
             sub = PackedGenotypes.from_bed_bytes(raw, n, rows, dtype=dtype)
-            w[:rows] = np.asarray(sub.words)
+            w[:sub.words.shape[0]] = np.asarray(sub.words)
             mu[:rows] = np.asarray(sub.mu)
             inv[:rows] = np.asarray(sub.inv_sd)
             local_missing += int(np.asarray(sub.n_missing).sum())
@@ -144,10 +146,11 @@ def load_bed_shard(prefix: str, mesh: Mesh, dtype=jnp.float32,
 
     def cb(idx):
         def f(index):
-            return blocks[(index[0].start or 0) // per][idx]
+            per_ax0 = per4 if idx == 0 else per
+            return blocks[(index[0].start or 0) // per_ax0][idx]
         return f
 
-    words = jax.make_array_from_callback((p_pad, nw), snp2, cb(0))
+    words = jax.make_array_from_callback((p_pad // 4, n4), snp2, cb(0))
     mu = jax.make_array_from_callback((p_pad,), snp1, cb(1))
     inv_sd = jax.make_array_from_callback((p_pad,), snp1, cb(2))
 

@@ -44,15 +44,18 @@ def _local_slice(idx, p_local):
     return jnp.where(owned, lidx, 0), owned
 
 
-def _local_xt_dots(words, R, want_missing, want_sq=False):
-    """Full-width raw dots on a local (p_local, nw) word shard."""
+def _local_xt_dots(words, R, want_missing, p_local, want_sq=False):
+    """Full-width raw dots on a local (p4_local, n4) quad-word shard;
+    outputs have leading dim p_local (= 4*p4_local SNPs, quad-padding rows
+    sliced off when the true shard row count is smaller)."""
     from ..ops import linalg as _lin
     if _lin._use_pallas():
         from ..ops import pallas_kernels as pk
         return pk.xt_dots_words(words, R.T, want_missing=want_missing,
-                                want_sq=want_sq)
-    packed = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(
-        words.shape[0], 4 * words.shape[1])
+                                want_sq=want_sq, p=p_local)
+    p4, n4 = words.shape
+    by = jax.lax.bitcast_convert_type(words, jnp.uint8)      # (p4, n4, 4)
+    packed = jnp.transpose(by, (0, 2, 1)).reshape(4 * p4, n4)[:p_local]
     return decode.xt_dots(packed, R.T, want_missing=want_missing,
                           want_sq=want_sq)
 
@@ -97,7 +100,7 @@ class ShardedPackedOp:
         g = self.geno
 
         def local(words, mu, inv_sd, R):
-            A, M, _ = _local_xt_dots(words, R, g.has_missing)
+            A, M, _ = _local_xt_dots(words, R, g.has_missing, mu.shape[0])
             colsum = jnp.sum(R, axis=1)
             corr = M - colsum[None, :] if g.has_missing else -colsum[None, :]
             return (inv_sd[:, None] * (A + mu[:, None] * corr)).T
@@ -113,7 +116,7 @@ class ShardedPackedOp:
         g = self.geno
 
         def local(words, mu, inv_sd, idx, coef, valid):
-            lidx, owned = _local_slice(idx, words.shape[0])
+            lidx, owned = _local_slice(idx, mu.shape[0])
             sel = valid * owned.astype(coef.dtype)
             coef_s = coef * inv_sd[lidx] * sel
             rows = decode.take_rows_bytes(words, lidx)
@@ -134,7 +137,7 @@ class ShardedPackedOp:
         g = self.geno
 
         def local(words, mu, inv_sd, idx, coef, valid):
-            lidx, owned = _local_slice(idx, words.shape[0])
+            lidx, owned = _local_slice(idx, mu.shape[0])
             sel = valid * owned.astype(coef.dtype)
             coef_s = coef * (inv_sd[lidx] * sel)[:, None, :]
             rows = decode.take_rows_bytes(words, lidx)
@@ -156,7 +159,7 @@ class ShardedPackedOp:
         dtype = self.dtype
 
         def local(words, mu, inv_sd, idx, valid):
-            lidx, owned = _local_slice(idx, words.shape[0])
+            lidx, owned = _local_slice(idx, mu.shape[0])
             rows = decode.take_rows_bytes(words, lidx)
             val, miss = decode.gather_decode_rows(rows, dtype,
                                                   want_missing=g.has_missing)
@@ -292,7 +295,8 @@ class ShardedPackedOp:
         def local(words, mu, inv_sd, W, WY):
             B = W.shape[0]
             R = jnp.stack([W, WY], axis=0).reshape(2 * B, -1)
-            A, M, Sq = _local_xt_dots(words, R, g.has_missing, want_sq=True)
+            A, M, Sq = _local_xt_dots(words, R, g.has_missing, mu.shape[0],
+                                      want_sq=True)
             A = A.T.reshape(2, B, -1)
             Sq = Sq.T.reshape(2, B, -1)
             if g.has_missing:

@@ -65,7 +65,88 @@ def fetch_rtt(reps: int = 5) -> float:
     return (time.time() - t0) / reps
 
 
-def stream_bandwidth(geno, iters: int = 10) -> float:
+def _pallas_reader(words, tp: int = 2048):
+    """Sum-reduce the words through an explicitly tiled Pallas pipeline —
+    measures the max DMA rate the grid pipeline (the same mechanism the
+    decode kernel rides) can sustain.  Carry scalar c defeats loop-invariant
+    hoisting when called inside a scan."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, nw = words.shape
+
+    def kern(c_ref, x_ref, o_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[0, 0] = c_ref[0, 0]
+
+        acc_ref[0, 0] += jnp.sum(x_ref[:])
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            o_ref[0, 0] = acc_ref[0, 0]
+
+    return pl.pallas_call(
+        kern,
+        grid=(-(-p // tp),),
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((tp, nw), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+        cost_estimate=pl.CostEstimate(flops=p * nw, bytes_accessed=p * nw * 4,
+                                      transcendentals=0),
+    )
+
+
+def stream_bandwidth_pallas(geno, iters: int = 50, tp: int = 2048) -> float:
+    """Measured HBM read bandwidth through a Pallas-tiled reader (bytes/s)."""
+    words = geno.words
+    reader = _pallas_reader(words, tp=tp)
+
+    @jax.jit
+    def loop(w, c0):
+        def body(c, _):
+            s = reader(jnp.full((1, 1), c, jnp.int32), w)
+            return c + s[0, 0], ()
+        c, _ = jax.lax.scan(body, c0, None, length=iters)
+        return c
+
+    np.asarray(loop(words, jnp.int32(0)))
+    rtt = fetch_rtt()
+    t0 = time.time()
+    np.asarray(loop(words, jnp.int32(1)))
+    dt = max(time.time() - t0 - rtt, 1e-9) / iters
+    return words.nbytes / dt
+
+
+def stream_bandwidth_rw(geno, iters: int = 10) -> float:
+    """Combined read+write bandwidth: each iteration materializes a fresh
+    full-array XOR copy (the carry forces it).  Reported over 2x bytes."""
+    words = geno.words
+
+    @jax.jit
+    def loop(w, y0):
+        def body(y, _):
+            return w ^ y[:1, :1], ()
+        y, _ = jax.lax.scan(body, y0, None, length=iters)
+        return y[0, 0]
+
+    y0 = words ^ jnp.int32(123)
+    np.asarray(loop(words, y0))
+    rtt = fetch_rtt()
+    t0 = time.time()
+    np.asarray(loop(words, y0 ^ jnp.int32(1)))
+    dt = max(time.time() - t0 - rtt, 1e-9) / iters
+    return 2 * words.nbytes / dt
+
+
+def stream_bandwidth(geno, iters: int = 50) -> float:
     """Measured achievable HBM read bandwidth (bytes/s) on THIS chip: a
     reduction over the packed words — reads every byte once, negligible
     compute.  This is the honest roofline denominator; nominal spec sheets

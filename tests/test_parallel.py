@@ -178,7 +178,9 @@ class TestShardEdgeCases:
                                    np.asarray(ref.best_logl), rtol=1e-5)
 
     def test_support_exceeds_shard_rows(self):
-        """S = 32 support slots > p_local = 15 rows per shard."""
+        """S = 32 support slots > p_local = 16 rows per shard."""
+        from mendeliht_tpu.parallel.mesh import pad_geno_rows
+
         rng = np.random.default_rng(13)
         n, p, k = 160, 120, 31
         codes = rng.choice([0, 2, 3], size=(n, p),
@@ -190,9 +192,11 @@ class TestShardEdgeCases:
         y = Xd @ btrue + 0.1 * rng.standard_normal(n)
 
         ref = self._solve(x, y, k)
-        out = self._solve(x, y, k, mesh_axes=(1, 8))
-        np.testing.assert_allclose(np.asarray(out.b), np.asarray(ref.b),
-                                   rtol=1e-5, atol=1e-6)
+        xp = pad_geno_rows(x, 8)               # 120 -> 128, p_local = 16 < S
+        out = self._solve(xp, y, k, mesh_axes=(1, 8))
+        np.testing.assert_allclose(np.asarray(out.b)[:, :p],
+                                   np.asarray(ref.b), rtol=1e-5, atol=1e-6)
+        assert not np.any(np.asarray(out.b)[:, p:])
         np.testing.assert_allclose(np.asarray(out.best_logl),
                                    np.asarray(ref.best_logl), rtol=1e-5)
 

@@ -18,7 +18,14 @@ but bytes are *crumb-transposed* relative to `.bed`: for a matrix with
 ``(packed >> 2s) & 3`` over a byte row yields a *contiguous*, naturally-ordered
 block of ``n4`` samples — decoding on TPU needs only shift/mask VPU ops and NO
 interleaving gathers, and the four shift-planes concatenate to the full sample
-axis.  This is the layout both the XLA fallback and the Pallas kernels consume.
+axis.
+
+The canonical DEVICE storage packs those byte rows four SNPs per int32 word
+(``words (ceil(p/4), n4)``, byte ``k`` of ``words[i, w]`` = byte ``w`` of SNP
+``4i+k``): the Pallas kernel's sublane-expanding i32->i8 bitcast then turns
+one crumb-plane extraction into four decoded SNP rows at once (see
+ops/pallas_kernels.py), while SNP gathers remain contiguous quad-row gathers
+plus a byte select.  The XLA fallback derives the plain byte rows on the fly.
 
 Standardization (matches reference semantics exactly; SnpLinAlg with
 ``center=true, scale=true, impute=true`` and the VCF path's

@@ -146,6 +146,17 @@ def main():
 
     timeit("fit_fused (whole program)", fused, ks, cv, reps=3)
 
+    # ---------------- residual decomposition (round-4 VERDICT #9)
+    # build_fit with the problem cache (models/fit.py _BUILD_CACHE): a warm
+    # repeat of the same problem skips host prep + transfers entirely
+    t0 = time.time()
+    for _ in range(5):
+        build_fit(y, g, k=bench.K, d=m.Normal())
+    t_build_cached = (time.time() - t0) / 5
+    phases["build_fit (cached)"] = round(t_build_cached * 1e3, 2)
+    print(f"{'build_fit (cached)':34s}: {t_build_cached*1e3:8.1f} ms",
+          flush=True)
+
     # ---------------- public API including host prep
     def api():
         return m.fit_iht(y, g, k=bench.K, d=m.Normal(), verbose=False)
@@ -168,6 +179,7 @@ def main():
     # forward products are k-sparse, not full passes)
     n_passes = 1 + iters
     kernel_floor_ms = round(n_passes * xtr_ms, 2)
+    residual = t_api * 1e3 - kernel_floor_ms
     out = {
         "device": str(jax.devices()[0].device_kind),
         "problem": {"n": bench.N, "p": bench.P, "k": bench.K,
@@ -177,7 +189,19 @@ def main():
             "full_kernel_passes": n_passes,
             "kernel_only_floor_ms": kernel_floor_ms,
             "public_api_warm_ms": round(t_api * 1e3, 2),
-            "non_kernel_residual_ms": round(t_api * 1e3 - kernel_floor_ms, 2),
+            "non_kernel_residual_ms": round(residual, 2),
+            "residual_decomposition_ms": {
+                "build_fit_cached_host_prep": round(t_build_cached * 1e3, 2),
+                "result_fetch_rtt": round(rtt * 1e3, 2),
+                "device_work_beyond_score_passes": round(
+                    max(residual - t_build_cached * 1e3 - rtt * 1e3, 0.0), 2),
+                "note": ("the last term is the fused program's non-score "
+                         "work (init, projections, sparse forwards, GLM "
+                         "elementwise, finalize) plus dispatch; build_fit "
+                         "is served from the problem cache (models/fit.py "
+                         "_BUILD_CACHE) so host prep no longer repeats "
+                         "per fit"),
+            },
         },
         "note": ("phases are each jitted separately and timed warm as N "
                  "async-queued dispatches + one fetch, with the measured "

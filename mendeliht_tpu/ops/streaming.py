@@ -8,10 +8,10 @@ with enough RAM.  A single TPU chip caps the HBM-resident design at
 ~14 GB packed (e.g. the reference's own n=120k x 1M benchmark rows are
 30 GB).  The first-choice TPU answer is to shard SNPs across chips
 (`parallel/`: 8 x v5e = 128 GB HBM); this module is the single-chip
-fallback: `X'R` / `col_moments` stream (block_p, nw) word blocks
+fallback: `X'R` / `col_moments` stream (block_p/4, n4) quad-word blocks
 host->device, with the transfer of block i+1 issued before block i's kernel
 result is consumed (JAX async dispatch overlaps them), and the k-sparse
-forward products gather only their S rows from host memory.
+forward products gather only their S quad rows from host memory.
 
 Streamed passes are PCIe/DMA-bound (~10 GB/s on a real TPU host vs the
 ~420 GB/s in-HBM kernel), so the solver pays ~40x per pass vs HBM-resident

@@ -99,3 +99,31 @@ def test_correlated_group_recovery():
     assert len(groups_found) <= 3
     true_groups = set(group[causal])
     assert len(groups_found & true_groups) >= 2
+
+
+class TestBuildCache:
+    def test_cache_hits_and_content_invalidation(self, rng):
+        """build_fit's problem cache returns the SAME built tuple for a
+        repeated identical problem, and must miss when y changes content or
+        the genotype object is different (identity check, models/fit.py)."""
+        from mendeliht_tpu.models.fit import build_fit
+
+        x, _ = m.simulate_random_snparray(None, 120, 200, rng=rng)
+        y, _, _ = m.simulate_random_response(x, 3, m.Normal(), rng=rng)
+        a = build_fit(y, x, k=3)
+        b = build_fit(y, x, k=3)
+        assert a is b                       # cache hit
+        c = build_fit(y + 1.0, x, k=3)
+        assert c is not a                   # content miss
+        d = build_fit(y, x, k=4)
+        assert d is not a                   # config miss
+        # different genotype OBJECT with identical content must miss (id
+        # check guards against recycled ids via the kept strong reference)
+        x2, _ = m.simulate_random_snparray(None, 120, 200,
+                                           rng=np.random.default_rng(1))
+        e = build_fit(y, x2, k=3)
+        assert e is not a
+        # cached and fresh builds produce identical fits
+        r1 = m.fit_iht(y, x, k=3, verbose=False)
+        r2 = m.fit_iht(y, x, k=3, verbose=False)
+        np.testing.assert_array_equal(r1.beta, r2.beta)

@@ -80,6 +80,10 @@ def _bytes_to_words(packed: np.ndarray) -> np.ndarray:
     The explicit '<i4' dtype keeps the layout correct on any host."""
     packed = np.ascontiguousarray(packed)
     p, n4 = packed.shape
+    from .. import native
+    q = native.quad_words(packed)         # multithreaded C++ interleave
+    if q is not None:
+        return q
     p4 = -(-p // 4)
     if p4 * 4 != p:
         packed = np.concatenate(

@@ -52,6 +52,10 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int32]
         lib.mendeliht_pack_codes_bed.restype = None
+        lib.mendeliht_quad_words.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32]
+        lib.mendeliht_quad_words.restype = None
         _lib = lib
         return _lib
 
@@ -74,6 +78,20 @@ def repack_bed(bed: np.ndarray, n: int, p: int, n4: int,
     lib.mendeliht_repack_bed(
         bed.ctypes.data, n, p, n4, out.ctypes.data, counts.ctypes.data, nt)
     return out, counts
+
+
+def quad_words(packed: np.ndarray, n_threads: int | None = None):
+    """(p, n4) crumb-transposed bytes -> (ceil(p/4), n4) int32 SNP-quad
+    words (the canonical device layout); None if native lib unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    p, n4 = packed.shape
+    out = np.empty((-(-p // 4), n4), np.dtype("<i4"))
+    nt = n_threads or min(os.cpu_count() or 1, 32)
+    lib.mendeliht_quad_words(packed.ctypes.data, p, n4, out.ctypes.data, nt)
+    return out
 
 
 def pack_codes_bed(codes: np.ndarray, n_threads: int | None = None):

@@ -71,6 +71,40 @@ void mendeliht_repack_bed(const uint8_t* bed, int64_t n, int64_t p,
     for (auto& th : ts) th.join();
 }
 
+// Interleave crumb-transposed byte rows into the canonical SNP-quad word
+// layout (byte k of out[i][w] = packed[4i+k][w]; rows past p are zero).
+// See genotype/snparray.py _bytes_to_words.
+void mendeliht_quad_words(const uint8_t* packed, int64_t p, int64_t n4,
+                          uint32_t* out, int32_t n_threads) {
+    const int64_t p4 = (p + 3) / 4;
+    auto work = [&](int64_t i0, int64_t i1) {
+        for (int64_t i = i0; i < i1; ++i) {
+            const uint8_t* r[4];
+            for (int k = 0; k < 4; ++k)
+                r[k] = (4 * i + k < p) ? packed + (4 * i + k) * n4 : nullptr;
+            uint32_t* orow = out + i * n4;
+            for (int64_t w = 0; w < n4; ++w) {
+                uint32_t v = 0;
+                for (int k = 0; k < 4; ++k)
+                    if (r[k]) v |= (uint32_t)r[k][w] << (8 * k);
+                orow[w] = v;
+            }
+        }
+    };
+    if (n_threads <= 1 || p4 < 256) {
+        work(0, p4);
+        return;
+    }
+    std::vector<std::thread> ts;
+    const int64_t per = (p4 + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        const int64_t i0 = t * per, i1 = std::min(i0 + per, p4);
+        if (i0 >= i1) break;
+        ts.emplace_back(work, i0, i1);
+    }
+    for (auto& th : ts) th.join();
+}
+
 // Inverse helper for writers: pack an (n, p) sample-major code matrix into
 // .bed payload bytes (SNP-major). codes values 0..3.
 void mendeliht_pack_codes_bed(const uint8_t* codes, int64_t n, int64_t p,

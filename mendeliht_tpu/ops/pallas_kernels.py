@@ -126,17 +126,18 @@ def _quantize_rhs_planes(rhs):
 
 
 def _crumb_restride(planes, n4, tw):
-    """(rows, n_pad = 4*n4) sample-ordered -> (4, rows, n4_pad) crumb planes.
+    """(rows, n_pad = 4*n4) sample-ordered -> (4, n4_pad, rows) crumb planes
+    in WEIGHTS orientation (contraction on the second axis' sublanes).
 
     Crumb-plane q of byte w is sample ``q*n4 + w`` (the crumb-transposed
     byte layout), so plane q is simply the contiguous sample slice
-    [q*n4, (q+1)*n4).  The zero tail (n4_pad - n4 lanes) annihilates
-    garbage decoded from out-of-bounds bytes on the reduction tail."""
+    [q*n4, (q+1)*n4).  The zero rows (n4_pad - n4) annihilate garbage
+    decoded from out-of-bounds bytes on the reduction tail."""
     rows = planes.shape[0]
     n4_pad = _cdiv(n4, tw) * tw
-    r = jnp.transpose(planes.reshape(rows, 4, n4), (1, 0, 2))
+    r = jnp.transpose(planes.reshape(rows, 4, n4), (1, 2, 0))  # (4, n4, rows)
     if n4_pad != n4:
-        r = jnp.pad(r, ((0, 0), (0, 0), (0, n4_pad - n4)))
+        r = jnp.pad(r, ((0, 0), (0, n4_pad - n4), (0, 0)))
     return r
 
 
@@ -144,15 +145,23 @@ def _kernel(words_ref, rhs_ref, scale_ref, *refs, want_missing, want_sq, tw):
     """refs = out_refs [A, M?, S?] then scratch accs [a, m?, h?].
 
     words_ref: (tpq, tw) i32 quad words; rhs_ref holds the FULL
-    (4, 3mc, n4_pad) digit planes (constant block index — VMEM-resident
-    across the whole kernel); each grid step slices its (3mc, tw) reduction
-    window at j*tw."""
+    (4, n4_pad, 3mc) digit planes (constant block index — VMEM-resident
+    across the whole kernel); each grid step slices its (tw, 3mc) reduction
+    window at j*tw.
+
+    Dot orientation matters enormously on the MXU: the decoded values are
+    the NATURALLY-ORIENTED streaming lhs (contraction on its lanes) and the
+    digit planes are the weights (contraction on their sublanes) — i.e.
+    dot_general(vq (tp, tw), rhs_q (tw, 3mc)) -> (tp, 3mc).  The reversed
+    orientation (values as the (tp, tw) operand contracted on LANES of a
+    (3mc, tw) lhs) forces Mosaic to transpose the big operand every dot and
+    measures ~4x slower at m = 1 (tools/kernel_lab.py round-4 race)."""
     n_out = 1 + int(want_missing) + int(want_sq)
     out_refs = refs[:n_out]
     acc_refs = refs[n_out:]
     j = pl.program_id(1)
     nj = pl.num_programs(1)
-    mc = out_refs[0].shape[0]
+    mc = out_refs[0].shape[1]
 
     @pl.when(j == 0)
     def _init():
@@ -171,23 +180,23 @@ def _kernel(words_ref, rhs_ref, scale_ref, *refs, want_missing, want_sq, tw):
     acc_a = next(it)[:]
     acc_m = next(it)[:] if want_missing else None
     acc_h = next(it)[:] if want_sq else None
-    dn = (((1,), (1,)), ((), ()))         # (3mc, tw) x (tp, tw) -> (3mc, tp)
+    dn = (((1,), (0,)), ((), ()))         # (tp, tw) x (tw, 3mc) -> (tp, 3mc)
     for q in range(4):                    # crumb-plane q = samples q*n4 + w
-        rhs_q = rhs_ref[q, :, pl.ds(j * tw, tw)]              # (3mc, tw) i8
+        rhs_q = rhs_ref[q, pl.ds(j * tw, tw), :]              # (tw, 3mc) i8
         # (tpq, tw) i32 -> (4*tpq, tw) i8: sublane-expanding bitcast puts
-        # byte k (= SNP 4i+k) in row 4i+k — SNPs on MXU output lanes
+        # byte k (= SNP 4i+k) in row 4i+k — SNPs on MXU output sublanes
         vq = pltpu.bitcast((w >> (2 * q)) & 0x03030303, jnp.int8)
         acc_a = acc_a + jax.lax.dot_general(
-            rhs_q, vq, dn, preferred_element_type=jnp.int32)
+            vq, rhs_q, dn, preferred_element_type=jnp.int32)
         if want_missing:
             mq = pltpu.bitcast((m16 >> (2 * q)) & 0x01010101, jnp.int8)
             acc_m = acc_m + jax.lax.dot_general(
-                rhs_q, mq, dn, preferred_element_type=jnp.int32)
+                mq, rhs_q, dn, preferred_element_type=jnp.int32)
         if want_sq:
             # h-bit == [value >= 1]; with v in {0,1,2}: v^2 = 3v - 2*[v>=1]
             hq = pltpu.bitcast((h >> (2 * q)) & 0x01010101, jnp.int8)
             acc_h = acc_h + jax.lax.dot_general(
-                rhs_q, hq, dn, preferred_element_type=jnp.int32)
+                hq, rhs_q, dn, preferred_element_type=jnp.int32)
     it = iter(acc_refs)
     next(it)[:] = acc_a
     if want_missing:
@@ -197,12 +206,12 @@ def _kernel(words_ref, rhs_ref, scale_ref, *refs, want_missing, want_sq, tw):
 
     @pl.when(j == nj - 1)
     def _combine():
-        s = scale_ref[:]                                 # (mc, 1) f32
+        s = scale_ref[:]                                 # (1, mc) f32
 
         def comb(acc):
             a = acc.astype(jnp.float32)
-            return (16384.0 * a[0:mc] + 128.0 * a[mc:2 * mc]
-                    + a[2 * mc:3 * mc]) * s
+            return (16384.0 * a[:, 0:mc] + 128.0 * a[:, mc:2 * mc]
+                    + a[:, 2 * mc:3 * mc]) * s
 
         A = comb(acc_a)
         out_refs[0][:] = A
@@ -224,17 +233,17 @@ def _xt_dots_chunk(words, crumbs_i8, scale, *, want_missing, want_sq, tp, tw,
     annihilated by the rhs zero padding."""
     p4, n4 = words.shape
     tpq = tp // 4
-    mc = crumbs_i8.shape[1] // 3
-    n4_pad = crumbs_i8.shape[2]
+    mc = crumbs_i8.shape[2] // 3
+    n4_pad = crumbs_i8.shape[1]
     grid = (_cdiv(p4, tpq), _cdiv(n4, tw))
     in_specs = [
         pl.BlockSpec((tpq, tw), lambda i, j: (i, j)),
         # constant block index: the full digit planes are DMA'd once and stay
-        # VMEM-resident; the kernel slices its (3mc, tw) window per grid step
-        pl.BlockSpec((4, 3 * mc, n4_pad), lambda i, j: (0, 0, 0)),
-        pl.BlockSpec((mc, 1), lambda i, j: (0, 0)),
+        # VMEM-resident; the kernel slices its (tw, 3mc) window per grid step
+        pl.BlockSpec((4, n4_pad, 3 * mc), lambda i, j: (0, 0, 0)),
+        pl.BlockSpec((1, mc), lambda i, j: (0, 0)),
     ]
-    out_spec = pl.BlockSpec((mc, tp), lambda i, j: (0, i))
+    out_spec = pl.BlockSpec((tp, mc), lambda i, j: (i, 0))
     n_out = 1 + int(want_missing) + int(want_sq)
     flops = 2 * 4 * p4 * 4 * n4 * 3 * mc * n_out
     cost = pl.CostEstimate(
@@ -246,11 +255,11 @@ def _xt_dots_chunk(words, crumbs_i8, scale, *, want_missing, want_sq, tp, tw,
     outs = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=(out_spec,) * n_out,
-        out_shape=(jax.ShapeDtypeStruct((mc, 4 * p4), jnp.float32),) * n_out,
-        scratch_shapes=[pltpu.VMEM((3 * mc, tp), jnp.int32)] * n_out,
+        out_shape=(jax.ShapeDtypeStruct((4 * p4, mc), jnp.float32),) * n_out,
+        scratch_shapes=[pltpu.VMEM((tp, 3 * mc), jnp.int32)] * n_out,
         cost_estimate=cost,
         interpret=interpret,
-    )(words, crumbs_i8, scale[:, None])
+    )(words, crumbs_i8, scale[None, :])
     it = iter(outs)
     return (next(it),
             next(it) if want_missing else None,
@@ -301,8 +310,8 @@ def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
                 outs[k].append(o[k])
 
     def merge(parts):
-        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        out = (out + nan_guard[:, None]).T               # (4*p4, m)
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        out = out + nan_guard[None, :]                   # (4*p4, m)
         return out if p is None else out[:p]
 
     A = merge(outs[0])

@@ -1,4 +1,13 @@
-"""Empirical probe of candidate 2-bit decode-matmul kernel designs (round 3).
+"""HISTORICAL (round 3) — kernel design probe for the previous canonical
+layout ((p, nw) row-major words, 16 decode rounds).  Superseded in round 4
+by tools/kernel_lab.py and the quad-word byte-plane kernel
+(ops/pallas_kernels.py); this file is retained as provenance for the
+numbers quoted in round-3 artifacts and DOES NOT run against the current
+(ceil(p/4), n4) quad-word storage.
+
+Original description:
+
+Empirical probe of candidate 2-bit decode-matmul kernel designs (round 3).
 
 Run on the real chip against the cached bench problem. Variants:
 

@@ -1,0 +1,22 @@
+#!/bin/bash
+# Regenerate every committed perf artifact on the real chip, in value order.
+# Each stage logs to /tmp/r4_<stage>.log and failures don't stop later stages.
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  name=$1; shift
+  echo "=== stage $name: $* ($(date +%H:%M:%S))"
+  timeout "${STAGE_TIMEOUT:-1800}" "$@" > "/tmp/r4_${name}.log" 2>&1
+  echo "=== stage $name done rc=$? ($(date +%H:%M:%S))"
+}
+
+run roofline  python tools/roofline.py
+run profile   python tools/profile_fit.py
+run suite     python bench.py --suite
+run flagship  python bench.py --flagship
+run scale     python bench.py --scale
+STAGE_TIMEOUT=7200 run stream python bench.py --stream
+run tputests  env MENDELIHT_TEST_PLATFORM=tpu python -m pytest \
+    tests/test_pallas.py -q -k on_tpu
+echo "ALL DONE $(date)"

@@ -14,7 +14,7 @@ result is consumed (JAX async dispatch overlaps them), and the k-sparse
 forward products gather only their S quad rows from host memory.
 
 Streamed passes are PCIe/DMA-bound (~10 GB/s on a real TPU host vs the
-~420 GB/s in-HBM kernel), so the solver pays ~40x per pass vs HBM-resident
+~750 GB/s in-HBM stream, ROOFLINE.json), so the solver pays ~50x+ per pass vs HBM-resident
 — still orders of magnitude faster than the reference's threaded CPU SpMV
 at the same scale, with NO capacity cliff.  Use `HostStreamedGenotypes`
 only when the packed matrix does not fit HBM.

@@ -190,7 +190,7 @@ def scaling_efficiency(single_host_nnz_s: float, multi_host_nnz_s: float,
 
 
 def comm_model(n: int, p: int, B: int = 1, n_task: int = 1, n_snp: int = 1,
-               stream_bytes_per_s: float = 420e9,
+               stream_bytes_per_s: float = 750e9,
                link_bytes_per_s: float = 45e9,
                backtracks_per_iter: float = 0.0) -> dict:
     """Per-iteration byte/time model of the SNP-sharded IHT solver.

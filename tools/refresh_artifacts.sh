@@ -12,6 +12,8 @@ run() {
 }
 
 run roofline  python tools/roofline.py
+run scaling   python tools/scaling.py
+run commcheck python tools/comm_check.py
 run profile   python tools/profile_fit.py
 run suite     python bench.py --suite
 run flagship  python bench.py --flagship

@@ -190,6 +190,14 @@ def main():
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.json")
+    # preserve the HLO-reconciliation section maintained by tools/comm_check.py
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        if "model_vs_measured" in prev:
+            out["model_vs_measured"] = prev["model_vs_measured"]
+    except Exception:
+        pass
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path, flush=True)

@@ -65,7 +65,7 @@ def fetch_rtt(reps: int = 5) -> float:
     return (time.time() - t0) / reps
 
 
-def _pallas_reader(words, tp: int = 2048):
+def _pallas_reader(words, tp: int | None = None):
     """Sum-reduce the words through an explicitly tiled Pallas pipeline —
     measures the max DMA rate the grid pipeline (the same mechanism the
     decode kernel rides) can sustain.  Carry scalar c defeats loop-invariant
@@ -75,6 +75,9 @@ def _pallas_reader(words, tp: int = 2048):
     from jax.experimental.pallas import tpu as pltpu
 
     p, nw = words.shape
+    if tp is None:
+        # ~4 MiB tile (double-buffered -> 8 MiB of the ~16 MiB VMEM)
+        tp = max(8, min(p, (4 << 20) // (nw * 4) // 8 * 8))
 
     def kern(c_ref, x_ref, o_ref, acc_ref):
         i = pl.program_id(0)
@@ -104,7 +107,8 @@ def _pallas_reader(words, tp: int = 2048):
     )
 
 
-def stream_bandwidth_pallas(geno, iters: int = 50, tp: int = 2048) -> float:
+def stream_bandwidth_pallas(geno, iters: int = 50,
+                            tp: int | None = None) -> float:
     """Measured HBM read bandwidth through a Pallas-tiled reader (bytes/s)."""
     words = geno.words
     reader = _pallas_reader(words, tp=tp)

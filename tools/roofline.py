@@ -48,7 +48,7 @@ def main():
     crosscheck["xla_xor_reduce_gbs"] = profiling.stream_bandwidth(g) / 1e9
     print(f"xla xor-reduce : {crosscheck['xla_xor_reduce_gbs']:7.1f} GB/s",
           flush=True)
-    for tp in (1024, 2048):
+    for tp in (256, 400):         # x n4 i32: ~2.6 / ~4.1 MiB tiles
         bw = profiling.stream_bandwidth_pallas(g, tp=tp) / 1e9
         crosscheck[f"pallas_reader_tp{tp}_gbs"] = bw
         print(f"pallas tp={tp:4d} : {bw:7.1f} GB/s", flush=True)

@@ -605,12 +605,13 @@ def main():
     g, y, causal, beta = load_problem()
     log(g)
 
-    if "--suite" in sys.argv:
-        rows = run_suite(g, y, causal, beta)
-        print(json.dumps(rows[0]))
-        return
-    if "--flagship" in sys.argv:
-        run_flagship(g, y)
+    if "--suite" in sys.argv or "--flagship" in sys.argv:
+        # both flags may be combined: the 2.5 GB problem transfers ONCE
+        if "--suite" in sys.argv:
+            rows = run_suite(g, y, causal, beta)
+            print(json.dumps(rows[0]))
+        if "--flagship" in sys.argv:
+            run_flagship(g, y)
         return
 
     def run():

@@ -84,21 +84,34 @@ def _pick_tiles(n4: int, tp: int, m: int, n_acc: int):
     output tiles (mc, tp)."""
     tpq = tp // 4
     best = None
-    for tw in sorted({min(n4, t) for t in (n4, 8192, 4096, 2048, 1024, 512)},
+    # n4/2 and n4/4 stay multiples of 128 lanes (n4 is a multiple of 512)
+    # and divide n4 exactly — no padded reduction columns
+    for tw in sorted({min(n4, t) for t in (n4, max(n4 // 2, 128),
+                                           max(n4 // 4, 128),
+                                           8192, 4096, 2048, 1024, 512)},
                      reverse=True):
         n4_pad = _cdiv(n4, tw) * tw
-        fixed = 2 * tpq * tw * 4
+        # 2x double-buffered words tile + ~3 tile-sized decode temporaries
+        # (h/w recode values, the extracted crumb plane, the i8 operand):
+        # Mosaic stack-allocates these, and ignoring them OOMs the 2-output
+        # (want_sq) variant at cv scale (observed 18.9 MiB vs the 16 MiB
+        # scoped limit with the old 2-buffer accounting)
+        fixed = (2 + 3) * tpq * tw * 4
         per_mc = 12 * n4_pad + n_acc * (3 * tp * 4 + 2 * tp * 4)
+        if fixed >= _VMEM_BUDGET:
+            continue
         mc = min((_VMEM_BUDGET - fixed) // per_mc, 256)
         if mc < 1:
             continue
         mc = int(min(mc, m))
-        cand = (_cdiv(m, mc), -tw, mc)
+        # fewest full HBM passes first, then least padded reduction work,
+        # then the largest tile
+        cand = (_cdiv(m, mc), n4_pad - n4, -tw, mc)
         if best is None or cand < best:
             best = cand
     if best is None:  # pathological shapes: smallest tiles, let Mosaic try
         return 512, 8
-    chunks, neg_tw, mc = best
+    chunks, _pad, neg_tw, mc = best
     if _FORCE_M_CHUNK is not None:
         mc = _FORCE_M_CHUNK
     return -neg_tw, mc

@@ -583,7 +583,7 @@ def cv_mv_iht(y, x, z=None, path=None, q=5, folds=None, zkeep=None,
               debias=False, verbose=True, max_iter=100, min_iter=5,
               init_beta=False, dtype=jnp.float32, rng=None,
               checkpoint_dir=None, checkpoint_every=20, show_progress=False,
-              **kwargs):
+              task_chunk=None, **kwargs):
     """Multivariate cross-validation (reference cv_iht with MvNormal;
     the reference treats uni/mv cv uniformly, src/cross_validation.jl:60 —
     so `checkpoint_dir` / `show_progress` work here like univariate cv)."""
@@ -608,22 +608,55 @@ def cv_mv_iht(y, x, z=None, path=None, q=5, folds=None, zkeep=None,
     for i, (fold, _) in enumerate(combos):
         train[i, :n] = folds != fold
         test[i, :n] = folds == fold
-    if checkpoint_dir is not None or show_progress:
-        mses = _cv_mv_segmented(op, data, cfg, ks,
-                                jnp.asarray(train, op.dtype),
-                                jnp.asarray(test, op.dtype), init_beta,
-                                checkpoint_dir, checkpoint_every,
-                                show_progress, verbose)
+    # (fold, k) tasks are independent, so chunking the task batch is exact —
+    # it bounds HBM for big grids: the (T, r, p) state quadruple plus the
+    # entry-level projection intermediates OOM one v5e around T*r*p ~ 1e8
+    # (e.g. 3 traits x 1M SNPs x 30 tasks). Auto-chunk to ~6 GB of state.
+    T_all = T
+    if task_chunk is None:
+        r_tr = data.Y.shape[0]
+        # empirical from the v5e OOM: 30 tasks x 3 traits x 1M SNPs wanted
+        # ~14.5 GB beyond the words, i.e. ~40x r*p*4 per task (state
+        # quadruple + projection/sort intermediates + XLA live ranges)
+        per_task = 32.0 * r_tr * op.p * 4.0
+        task_chunk = max(1, int(6e9 / max(per_task, 1.0)))
+    if task_chunk < T_all:
+        parts = []
+        for lo in range(0, T_all, task_chunk):
+            hi = min(lo + task_chunk, T_all)
+            if verbose:
+                print(f"cv tasks {lo + 1}-{hi} of {T_all}...")
+            parts.append(_cv_mv_run(
+                op, data, cfg, ks[lo:hi],
+                jnp.asarray(train[lo:hi], op.dtype),
+                jnp.asarray(test[lo:hi], op.dtype), init_beta,
+                checkpoint_dir=(None if checkpoint_dir is None else
+                                f"{checkpoint_dir}/chunk{lo}"),
+                checkpoint_every=checkpoint_every,
+                show_progress=show_progress, verbose=verbose))
+        mses = np.concatenate(parts)
     else:
-        mses = np.asarray(cv_mv_fused(op, data, cfg, ks,
-                                      jnp.asarray(train, op.dtype),
-                                      jnp.asarray(test, op.dtype),
-                                      init_beta=init_beta))
+        mses = _cv_mv_run(op, data, cfg, ks, jnp.asarray(train, op.dtype),
+                          jnp.asarray(test, op.dtype), init_beta,
+                          checkpoint_dir, checkpoint_every, show_progress,
+                          verbose)
     mse = meanloss(mses, q, folds)
     best_k = path[int(np.argmin(mse))]
     if verbose:
         print_cv_results(sys.stdout, mse, path, best_k)
     return mse
+
+
+def _cv_mv_run(op, data, cfg, ks, train, test, init_beta, checkpoint_dir,
+               checkpoint_every, show_progress, verbose):
+    """One fused (or segmented, when checkpointing/progress is on) solve of
+    a task batch; returns the per-task holdout MSEs as numpy."""
+    if checkpoint_dir is not None or show_progress:
+        return _cv_mv_segmented(op, data, cfg, ks, train, test, init_beta,
+                                checkpoint_dir, checkpoint_every,
+                                show_progress, verbose)
+    return np.asarray(cv_mv_fused(op, data, cfg, ks, train, test,
+                                  init_beta=init_beta))
 
 
 def _cv_mv_segmented(op, data, cfg, ks, train, test, init_beta,

@@ -120,3 +120,17 @@ def test_mv_cv_streamed_raises(mv_sim):
     with pytest.raises(NotImplementedError):
         m.cv_iht(np.ascontiguousarray(Y.T), x=s, path=[2, 4], q=2,
                  d=m.MvNormal(), verbose=False)
+
+
+def test_mv_cv_task_chunking_exact(mv_sim):
+    """Chunked task batches must reproduce the single-batch grid exactly
+    ((fold, k) tasks are independent); chunking bounds HBM for big grids."""
+    x, Y, *_ = mv_sim
+    Yt = np.ascontiguousarray(Y.T)
+    path = [2, 6, 10, 14]
+    folds = np.random.default_rng(21).integers(1, 3, size=500)
+    from mendeliht_tpu.models.mv import cv_mv_iht
+    m0 = cv_mv_iht(Yt, x, path=path, q=2, folds=folds, verbose=False)
+    m1 = cv_mv_iht(Yt, x, path=path, q=2, folds=folds, verbose=False,
+                   task_chunk=3)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-6)

@@ -123,8 +123,10 @@ def test_mv_cv_streamed_raises(mv_sim):
 
 
 def test_mv_cv_task_chunking_exact(mv_sim):
-    """Chunked task batches must reproduce the single-batch grid exactly
-    ((fold, k) tasks are independent); chunking bounds HBM for big grids."""
+    """Chunked task batches must reproduce the single-batch grid
+    ((fold, k) tasks are independent; a different batch size changes XLA's
+    float reduction order, so agreement is ~1e-5 relative, not bitwise);
+    chunking bounds HBM for big grids."""
     x, Y, *_ = mv_sim
     Yt = np.ascontiguousarray(Y.T)
     path = [2, 6, 10, 14]
@@ -133,4 +135,4 @@ def test_mv_cv_task_chunking_exact(mv_sim):
     m0 = cv_mv_iht(Yt, x, path=path, q=2, folds=folds, verbose=False)
     m1 = cv_mv_iht(Yt, x, path=path, q=2, folds=folds, verbose=False,
                    task_chunk=3)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-4)

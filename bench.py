@@ -429,8 +429,10 @@ def run_flagship(g, y):
             cold_s=round(t_cold, 3),
             best_k=int(np.asarray(list(kw["path"]))[int(np.argmin(mses))]))
     except Exception as e:                       # write what succeeded
+        import traceback
         err = f"{type(e).__name__}: {e}"
-        log("[flagship] mv row failed:", err.splitlines()[0][:200])
+        log("[flagship] mv row failed:")
+        traceback.print_exc(file=sys.stderr)
 
     out = {"device": str(jax.devices()[0].device_kind), "rows": rows}
     if err:

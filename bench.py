@@ -465,7 +465,11 @@ def run_stream():
 
     out = {"device": str(jax.devices()[0].device_kind)}
 
-    # measured host->device link rate (the denominator for streamed passes)
+    # measured host->device link rate (the denominator for streamed passes);
+    # warm up first — the first device op pays init/backlog on this tunnel
+    warm = jnp.asarray(np.ones((4, 1024, 1024), np.uint8))
+    np.asarray(jnp.sum(warm[0, 0]))
+    del warm
     t0 = time.time()
     buf = jnp.asarray(np.ones((256, 1024, 1024), np.uint8))
     np.asarray(jnp.sum(buf[0, 0]))

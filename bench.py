@@ -445,6 +445,13 @@ def run_flagship(g, y):
     print(json.dumps(rows[0]))
 
 
+def _dump_stream(out):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "STREAM.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+
+
 def run_stream():
     """Out-of-core evidence (round-4 VERDICT #3), STREAM.json:
 
@@ -501,6 +508,7 @@ def run_stream():
         "abs_logl_diff": abs(res_r.logl - res_s.logl),
         "packed_gbytes": round(s.words_np.nbytes / 1e9, 2),
     }
+    _dump_stream(out)
     log(f"[stream] 10k x 1M: streamed {t_stream:.1f}s vs resident "
         f"{res_r.time:.3f}s, support identical, "
         f"dlogl={abs(res_r.logl - res_s.logl):.2e}")
@@ -554,6 +562,7 @@ def run_stream():
     np.asarray(sop.xtr(R * 1.5)[0, :8])
     t_pass = time.time() - t0
     t_xfer_only = packed_gb / link_gbs
+    _dump_stream(out)
     out["pass_80k_x_1M"] = {
         "packed_gbytes": round(packed_gb, 2),
         "xtr_pass_s": round(t_pass, 2),
@@ -566,6 +575,7 @@ def run_stream():
     }
     log(f"[stream] X'R pass: {t_pass:.1f}s vs pure transfer "
         f"{t_xfer_only:.1f}s ({t_xfer_only / t_pass:.0%} overlap)")
+    _dump_stream(out)
 
     t0 = time.time()
     res_b = m.fit_iht(y_big, sgeno, k=K, d=m.Normal(), verbose=False)

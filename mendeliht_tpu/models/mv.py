@@ -88,18 +88,23 @@ def _where_t(mask, new, old):
 # ---------------------------------------------------------------------------
 
 def _flatten_bc(Bm, Cm):
-    T, r, p = Bm.shape
-    q = Cm.shape[2]
-    fb = jnp.swapaxes(Bm, 1, 2).reshape(T, p * r)
-    fc = jnp.swapaxes(Cm, 1, 2).reshape(T, q * r)
+    """TRAIT-major flattening [vec(B_t1); vec(B_t2); ...; vec(C)].
+
+    The reference flattens per-SNP r-blocks (multivariate.jl:138-189), but
+    the joint top-k is order-invariant, and a per-SNP order needs a
+    (T, p, r) transpose whose minor dim r=3 lane-pads 11x on TPU — 1.9 GB
+    of HLO temp per intermediate at p=1M, an HBM OOM at cv scale. Trait-
+    major is a FREE reshape of the (T, r, p) state."""
+    T = Bm.shape[0]
+    fb = Bm.reshape(T, -1)
+    fc = Cm.reshape(T, -1)
     return jnp.concatenate([fb, fc], axis=1)
 
 
 def _unflatten_bc(full, r, p, q):
     T = full.shape[0]
-    fb = full[:, :p * r].reshape(T, p, r)
-    fc = full[:, p * r:].reshape(T, q, r)
-    return jnp.swapaxes(fb, 1, 2), jnp.swapaxes(fc, 1, 2)
+    return (full[:, :p * r].reshape(T, r, p),
+            full[:, p * r:].reshape(T, r, q))
 
 
 def _project_joint_mv(Bm, Cm, k_plus_keep, zkeep, S_entries: int):
@@ -108,7 +113,7 @@ def _project_joint_mv(Bm, Cm, k_plus_keep, zkeep, S_entries: int):
     T, r, p = Bm.shape
     q = Cm.shape[2]
     full = _flatten_bc(Bm, Cm)
-    pin_c = jnp.repeat(zkeep, r)                        # (q*r,)
+    pin_c = jnp.tile(zkeep, r)                          # (r*q,) trait-major
     pin = jnp.concatenate([jnp.zeros(p * r, bool), pin_c])
     mag = jnp.where(pin[None, :], jnp.inf, jnp.abs(full))
     _, topi = fast_top_k(mag, S_entries)

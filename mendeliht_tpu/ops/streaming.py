@@ -126,11 +126,24 @@ class StreamedPackedOp:
         bp = self.geno.block_p
         return [(lo, min(lo + bp, self.p)) for lo in range(0, self.p, bp)]
 
+    @staticmethod
+    def _drain(x):
+        """Force block i-1's kernel (and hence its input transfer) to finish
+        before queueing block i+1: bounds the in-flight host block copies to
+        ~2 regardless of link speed.  Without this, a slow host->device link
+        lets the async queue accumulate every block copy of the pass — a
+        20.5 GB matrix OOM-killed the host at 130 GB RSS (round 4).  NOTE a
+        host FETCH, not block_until_ready: on remote (axon) backends only a
+        fetch synchronizes."""
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf.ravel()[0])
+
     def xtr(self, R: jnp.ndarray) -> jnp.ndarray:
         """Standardized X'R, streamed: one pass over host words per call.
 
         The device_put of block i+1 is issued right after block i's kernel
-        is dispatched (both async), so transfer and compute overlap."""
+        is dispatched (both async), so transfer and compute overlap; block
+        i-1 is drained before queueing further (bounded memory)."""
         blocks = self._blocks()
         nxt = self._block_op(*blocks[0])
         outs = []
@@ -139,6 +152,8 @@ class StreamedPackedOp:
             if b + 1 < len(blocks):
                 nxt = self._block_op(*blocks[b + 1])  # async H2D for next
             outs.append(op_b.xtr(R))                  # (B, pb)
+            if b >= 1:
+                self._drain(outs[b - 1])
         return jnp.concatenate(outs, axis=1)
 
     def col_moments(self, W: jnp.ndarray, WY: jnp.ndarray):
@@ -150,6 +165,8 @@ class StreamedPackedOp:
             if b + 1 < len(blocks):
                 nxt = self._block_op(*blocks[b + 1])
             outs.append(op_b.col_moments(W, WY))
+            if b >= 1:
+                self._drain(outs[b - 1])
         Sx = jnp.concatenate([o[0] for o in outs], axis=1)
         Sxx = jnp.concatenate([o[1] for o in outs], axis=1)
         Sxy = jnp.concatenate([o[2] for o in outs], axis=1)

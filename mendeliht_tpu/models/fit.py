@@ -238,26 +238,29 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
             zkeep=None, est_r="none", use_maf=False, debias=False,
             verbose=True, tol=1e-4, max_iter=200, min_iter=5, max_step=3,
             io=None, init_beta=False, memory_efficient=True,
-            dtype=jnp.float32):
+            dtype=jnp.float32, checkpoint_dir=None, checkpoint_every=20):
     """Fit one IHT model at sparsity k (reference src/fit.jl:60-118).
 
     `x` may be a PackedGenotypes (standardization + mean-imputation applied on
     the fly) or a dense (n, p) matrix used verbatim.  For multivariate traits
     pass y with shape (r, n) and x/z with samples as columns — see
     `models.mv`. ``memory_efficient`` is accepted for API parity (all code
-    paths here are memory-efficient by construction)."""
+    paths here are memory-efficient by construction).
+
+    ``checkpoint_dir`` / ``checkpoint_every`` apply to out-of-core (streamed)
+    fits, which on a slow host link can run for hours: a killed fit resumes
+    from the last checkpoint (the resident fused path is a single compiled
+    program — seconds, not hours — and ignores them)."""
     if is_multivariate(y):
-        from ..ops.streaming import HostStreamedGenotypes
-        if isinstance(x, HostStreamedGenotypes):
-            raise NotImplementedError(
-                "multivariate IHT on an out-of-core (streamed) matrix is not "
-                "supported — shard the SNP axis across chips instead "
-                "(mendeliht_tpu.parallel)")
+        # out-of-core (HostStreamedGenotypes) matrices route to the
+        # host-stepped mv driver inside fit_mv_iht (models/mv_streamed.py)
         from .mv import fit_mv_iht
         return fit_mv_iht(y, x, z, k=k, d=d, verbose=verbose, tol=tol,
                           max_iter=max_iter, min_iter=min_iter,
                           max_step=max_step, zkeep=zkeep, io=io,
-                          init_beta=init_beta, debias=debias, dtype=dtype)
+                          init_beta=init_beta, debias=debias, dtype=dtype,
+                          checkpoint_dir=checkpoint_dir,
+                          checkpoint_every=checkpoint_every)
 
     d = d if d is not None else glm.Normal()
     if glm.dist_name(d) != "negativebinomial" and cfg_est_r_requested(est_r):
@@ -301,7 +304,10 @@ def fit_iht(y, x, z=None, k=10, J=1, d=None, l=None, group=None, weight=None,
         sel_idx, sel_valid, sel_bc, c, logl, iters, failed, sg = \
             fit_fused_sparse_host(op, data, cfg, ks, cv_wts,
                                   init_beta=init_beta,
-                                  io=(io if verbose else None))
+                                  io=(io if verbose else None),
+                                  checkpoint_dir=checkpoint_dir,
+                                  checkpoint_every=checkpoint_every,
+                                  verbose=verbose)
     elif verbose and io is not None:
         # teed mode (reference fit.jl:194-196 writes the progress lines to
         # `io` AND stdout): step the solver one iteration at a time so the

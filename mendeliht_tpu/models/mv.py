@@ -135,13 +135,43 @@ def _column_support(Bm, S: int):
     return sel_idx, vals != 0
 
 
+# --- operator-routed projections / gathers ---------------------------------
+# A sharded operator (parallel.ShardedPackedOp) overrides these so the
+# (T, r, p) tensors never leave their shards (same design as the univariate
+# _proj_joint/_sel_support/_take_b dispatchers, models/univariate.py:60-81):
+# the default global top_k / take_along_axis on a sharded array would make
+# XLA all-gather the full tensor every iteration.
+
+def _proj_joint_mv_op(op, Bm, Cm, k_plus_keep, zkeep, S_entries: int):
+    f = getattr(op, "project_joint_mv", None)
+    if f is not None:
+        return f(Bm, Cm, k_plus_keep, zkeep, S_entries)
+    return _project_joint_mv(Bm, Cm, k_plus_keep, zkeep, S_entries)
+
+
+def _col_support_op(op, Bm, S: int):
+    f = getattr(op, "column_support_mv", None)
+    if f is not None:
+        return f(Bm, S)
+    return _column_support(Bm, S)
+
+
+def _take_b_multi(op, arr, gidx, gval):
+    """Masked (T, r, S) gather from a (T, r, p) array along the SNP axis."""
+    f = getattr(op, "take_b_multi", None)
+    if f is not None:
+        return f(arr, gidx, gval)
+    v = jnp.take_along_axis(arr, gidx[:, None, :].repeat(arr.shape[1], 1),
+                            axis=2)
+    return v * gval[:, None, :]
+
+
 # ---------------------------------------------------------------------------
 # pieces of one step
 # ---------------------------------------------------------------------------
 
 def _forward_mv(op, data: MvData, st, Bm, Cm, sel_idx, sel_valid):
-    Bsel = jnp.take_along_axis(Bm, sel_idx[:, None, :].repeat(Bm.shape[1], 1),
-                               axis=2)
+    Bsel = _take_b_multi(op, Bm, sel_idx, sel_valid)
     BX = op.forward_sel_multi(sel_idx, Bsel, sel_valid.astype(Bm.dtype))
     CZ = jnp.einsum("trq,nq->trn", Cm, data.z)
     return BX, CZ
@@ -181,8 +211,12 @@ def _loglik_mv(st_gamma, resid, nsamples):
 def _score_mv(op, data: MvData, gamma, resid):
     """df = (Gamma R) X', df2 = (Gamma R) Z' (reference score!, :66-70)."""
     GR = jnp.einsum("trs,tsn->trn", gamma, resid)       # (T, r, n_pad)
-    T, r, n_pad = GR.shape
-    df = op.xtr(GR.reshape(T * r, n_pad)).reshape(T, r, -1)
+    f = getattr(op, "xtr_multi", None)
+    if f is not None:
+        df = f(GR)           # sharded: the (T*r) reshape happens per shard
+    else:
+        T, r, n_pad = GR.shape
+        df = op.xtr(GR.reshape(T * r, n_pad)).reshape(T, r, -1)
     df2 = jnp.einsum("trn,nq->trq", GR, data.z)
     return df, df2
 
@@ -191,10 +225,7 @@ def _stepsize_full(op, data: MvData, st):
     """eta = ||df_supp||_F^2 / ||U df_supp X||_F^2, U = chol-upper of Gamma
     (reference iht_stepsize!, src/multivariate.jl:220-254; covariate terms
     intentionally excluded like the reference)."""
-    r = st.B.shape[1]
-    df_sel = jnp.take_along_axis(st.df, st.sel_idx[:, None, :].repeat(r, 1),
-                                 axis=2)
-    df_sel = df_sel * st.sel_valid[:, None, :]
+    df_sel = _take_b_multi(op, st.df, st.sel_idx, st.sel_valid)
     numer = jnp.sum(df_sel * df_sel, axis=(1, 2))
     dfX = op.forward_sel_multi(st.sel_idx, df_sel,
                                st.sel_valid.astype(st.df.dtype))
@@ -207,11 +238,12 @@ def _stepsize_full(op, data: MvData, st):
     return jnp.where(bad, jnp.asarray(_GUARD, eta.dtype), eta)
 
 
-def _gradstep_mv(cfg, st, eta, zkeep):
+def _gradstep_mv(op, cfg, st, eta, zkeep):
     B1 = st.B0 + eta[:, None, None] * st.df
     C1 = st.C0 + eta[:, None, None] * st.df2
-    B_new, C_new = _project_joint_mv(B1, C1, st.k + cfg.zkeepn, zkeep, cfg.S_entries)
-    sel_idx, sel_valid = _column_support(B_new, cfg.S)
+    B_new, C_new = _proj_joint_mv_op(op, B1, C1, st.k + cfg.zkeepn, zkeep,
+                                     cfg.S_entries)
+    sel_idx, sel_valid = _col_support_op(op, B_new, cfg.S)
     idc = jnp.any(C_new != 0, axis=1)
     return B_new, C_new, sel_idx, sel_valid, idc
 
@@ -222,13 +254,11 @@ class MvConfig(FitConfig):
     S_entries: int = 32     # slots for entry-level projection (k + zkeepn)
 
 
-def _iteration_mv(op, data: MvData, cfg: MvConfig, st: MIHTState) -> MIHTState:
+def _mv_save_prev(st: MIHTState) -> MIHTState:
+    """save_prev (reference src/multivariate.jl:356-367)."""
     act = st.active
-    nsamples = jnp.sum(st.cv_wts, axis=1)
-
-    # save_prev (reference src/multivariate.jl:356-367)
     improved = act & (st.logl > st.best_logl)
-    st = dataclasses.replace(
+    return dataclasses.replace(
         st,
         best_B=_where_t(improved, st.B, st.best_B),
         best_C=_where_t(improved, st.C, st.best_C),
@@ -236,37 +266,57 @@ def _iteration_mv(op, data: MvData, cfg: MvConfig, st: MIHTState) -> MIHTState:
         B0=_where_t(act, st.B, st.B0), C0=_where_t(act, st.C, st.C0),
         Gamma0=_where_t(act, st.Gamma, st.Gamma0))
 
+
+def _mv_take_step(op, data: MvData, cfg: MvConfig, st: MIHTState, eta_t,
+                  nsamples):
+    """One projected gradient step + model refresh at stepsize eta_t (the
+    body of the backtracking line search, reference src/multivariate.jl)."""
+    B, C, sel_idx, sel_valid, idc = _gradstep_mv(op, cfg, st, eta_t,
+                                                 data.zkeep)
+    BX, CZ = _forward_mv(op, data, st, B, C, sel_idx, sel_valid)
+    mu = BX + CZ
+    resid = _resid(data, mu, st.cv_wts)
+    gamma = _solve_gamma(resid, nsamples)
+    logl = _loglik_mv(gamma, resid, nsamples)
+    return dict(B=B, C=C, sel_idx=sel_idx, sel_valid=sel_valid, idc=idc,
+                BX=BX, CZ=CZ, mu=mu, resid=resid, Gamma=gamma, logl=logl)
+
+
+def _mv_bt_need(act, old_logl, cur, n_bt, max_step):
+    return act & (old_logl > cur["logl"]) & (n_bt < max_step)
+
+
+def _iteration_mv(op, data: MvData, cfg: MvConfig, st: MIHTState) -> MIHTState:
+    act = st.active
+    nsamples = jnp.sum(st.cv_wts, axis=1)
+    st = _mv_save_prev(st)
+
     eta = _stepsize_full(op, data, st)
     old_logl = st.logl
 
-    def take_step(eta_t):
-        B, C, sel_idx, sel_valid, idc = _gradstep_mv(cfg, st, eta_t, data.zkeep)
-        BX, CZ = _forward_mv(op, data, st, B, C, sel_idx, sel_valid)
-        mu = BX + CZ
-        resid = _resid(data, mu, st.cv_wts)
-        gamma = _solve_gamma(resid, nsamples)
-        logl = _loglik_mv(gamma, resid, nsamples)
-        return dict(B=B, C=C, sel_idx=sel_idx, sel_valid=sel_valid, idc=idc,
-                    BX=BX, CZ=CZ, mu=mu, resid=resid, Gamma=gamma, logl=logl)
-
-    cur = take_step(eta)
+    cur = _mv_take_step(op, data, cfg, st, eta, nsamples)
     n_bt = jnp.zeros_like(eta, dtype=jnp.int32)
-
-    def _bt_need(carry):
-        cur, eta, n_bt = carry
-        return act & (old_logl > cur["logl"]) & (n_bt < cfg.max_step)
 
     def bt_body(carry):
         cur, eta, n_bt = carry
-        need = _bt_need(carry)
+        need = _mv_bt_need(act, old_logl, cur, n_bt, cfg.max_step)
         eta2 = jnp.where(need, eta / 2, eta)
-        nxt = take_step(eta2)
+        nxt = _mv_take_step(op, data, cfg, st, eta2, nsamples)
         merged = {kk: _where_t(need, nxt[kk], cur[kk]) for kk in cur}
         return merged, eta2, n_bt + need.astype(jnp.int32)
 
     cur, eta, n_bt = jax.lax.while_loop(
-        lambda c: jnp.any(_bt_need(c)), bt_body, (cur, eta, n_bt))
+        lambda c: jnp.any(_mv_bt_need(act, old_logl, c[0], c[2],
+                                      cfg.max_step)),
+        bt_body, (cur, eta, n_bt))
 
+    return _mv_post_step(op, data, cfg, st, cur, eta, n_bt)
+
+
+def _mv_post_step(op, data: MvData, cfg: MvConfig, st: MIHTState, cur, eta,
+                  n_bt) -> MIHTState:
+    """Accept the line-search result: score, NaN guard, convergence."""
+    act = st.active
     new = dataclasses.replace(
         st,
         B=_where_t(act, cur["B"], st.B), C=_where_t(act, cur["C"], st.C),
@@ -326,7 +376,7 @@ def finalize_mv_iht(op, data: MvData, cfg: MvConfig,
         best_logl=jnp.where(improved, st.logl, st.best_logl),
         iters=iters, active=jnp.zeros_like(st.active))
     # save_best_model! (reference src/multivariate.jl:485-496): mu = BX + CZ
-    sel_idx, sel_valid = _column_support(st.best_B, cfg.S)
+    sel_idx, sel_valid = _col_support_op(op, st.best_B, cfg.S)
     BX, CZ = _forward_mv(op, data, st, st.best_B, st.best_C, sel_idx, sel_valid)
     mu = BX + CZ
     return dataclasses.replace(st, B=st.best_B, C=st.best_C, sel_idx=sel_idx,
@@ -451,9 +501,9 @@ def init_mv_state(op, data: MvData, cfg: MvConfig, k, cv_wts,
 
     if init_beta:
         Bm, Cm = _initialize_beta_mv(op, data, cv_wts)
-        Bm, Cm = _project_joint_mv(Bm.astype(dtype), Cm.astype(dtype),
+        Bm, Cm = _proj_joint_mv_op(op, Bm.astype(dtype), Cm.astype(dtype),
                                    k + cfg.zkeepn, data.zkeep, cfg.S_entries)
-        sel_idx, sel_valid = _column_support(Bm, cfg.S)
+        sel_idx, sel_valid = _col_support_op(op, Bm, cfg.S)
         st = dataclasses.replace(st, B=Bm, C=Cm, B0=Bm, C0=Cm,
                                  sel_idx=sel_idx, sel_valid=sel_valid,
                                  idc=jnp.any(Cm != 0, axis=1))
@@ -468,10 +518,10 @@ def init_mv_state(op, data: MvData, cfg: MvConfig, k, cv_wts,
         # initial support from projected score (reference :436-445); like the
         # univariate path the projected score replaces df so the first grad
         # step moves only selected entries
-        df_p, df2_p = _project_joint_mv(df, df2, k + cfg.zkeepn, data.zkeep,
-                                        cfg.S_entries)
+        df_p, df2_p = _proj_joint_mv_op(op, df, df2, k + cfg.zkeepn,
+                                        data.zkeep, cfg.S_entries)
         df2_p = jnp.where(data.zkeep[None, None, :], df2, df2_p)
-        sel_idx, sel_valid = _column_support(df_p, cfg.S)
+        sel_idx, sel_valid = _col_support_op(op, df_p, cfg.S)
         st = dataclasses.replace(
             st, df=df_p, df2=df2_p, sel_idx=sel_idx, sel_valid=sel_valid,
             idc=jnp.any(df2_p != 0, axis=1))
@@ -512,12 +562,6 @@ def _prepare_mv(y, x, z, dtype):
 
 def build_mv(y, x, z=None, *, k=10, zkeep=None, tol=1e-4, max_iter=200,
              min_iter=5, max_step=3, dtype=jnp.float32):
-    from ..ops.streaming import HostStreamedGenotypes, StreamedPackedOp
-    if isinstance(x, (HostStreamedGenotypes, StreamedPackedOp)):
-        raise NotImplementedError(
-            "multivariate IHT on an out-of-core (streamed) matrix is not "
-            "supported — shard the SNP axis across chips instead "
-            "(mendeliht_tpu.parallel)")
     op, Y_pad, z_pad, mask = _prepare_mv(y, x, z, dtype)
     r, q = Y_pad.shape[0], z_pad.shape[1]
     if zkeep is None:
@@ -542,10 +586,12 @@ def build_mv(y, x, z=None, *, k=10, zkeep=None, tol=1e-4, max_iter=200,
 
 def fit_mv_iht(y, x, z=None, k=10, d=None, l=None, verbose=True, tol=1e-4,
                max_iter=200, min_iter=5, max_step=3, zkeep=None, io=None,
-               init_beta=False, debias=False, dtype=jnp.float32, **kwargs):
+               init_beta=False, debias=False, dtype=jnp.float32,
+               checkpoint_dir=None, checkpoint_every=20, **kwargs):
     """Multivariate IHT fit (reference fit_iht with MvNormal, src/fit.jl:60).
 
-    y: (r, n) trait-major; x: PackedGenotypes or dense (n, p); z: (q, n)."""
+    y: (r, n) trait-major; x: PackedGenotypes, HostStreamedGenotypes (out-of-
+    core, host-stepped) or dense (n, p); z: (q, n)."""
     if int(np.min(k)) < 1:
         raise ValueError("Multivariate IHT requires k >= 1!")
     if debias:
@@ -561,8 +607,18 @@ def fit_mv_iht(y, x, z=None, k=10, d=None, l=None, verbose=True, tol=1e-4,
                          tol, max_iter, min_iter)
     t0 = _time.time()
     cv_wts = jnp.broadcast_to(data.sample_mask[None, :], (1, op.n_pad))
-    st, Sigma_b, pve_b = fit_mv_fused(op, data, cfg, jnp.asarray([int(k)]),
-                                      cv_wts, init_beta=init_beta)
+    from ..ops.streaming import StreamedPackedOp
+    if isinstance(op, StreamedPackedOp):
+        # out-of-core matrix: host-stepped driver (the jitted while_loop
+        # cannot stream blocks from inside the trace)
+        from .mv_streamed import fit_mv_host
+        st, Sigma_b, pve_b = fit_mv_host(
+            op, data, cfg, jnp.asarray([int(k)]), cv_wts,
+            init_beta=init_beta, checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, verbose=verbose)
+    else:
+        st, Sigma_b, pve_b = fit_mv_fused(op, data, cfg, jnp.asarray([int(k)]),
+                                          cv_wts, init_beta=init_beta)
     # per-trait PVE (reference pve(v::mIHTVariable), src/pve.jl:36-38);
     # single host round-trip for everything the result needs
     B_h, C_h, logl_h, iters_h, failed_h, Sigma_h, sg_h = jax.device_get(
@@ -656,6 +712,13 @@ def _cv_mv_run(op, data, cfg, ks, train, test, init_beta, checkpoint_dir,
                checkpoint_every, show_progress, verbose):
     """One fused (or segmented, when checkpointing/progress is on) solve of
     a task batch; returns the per-task holdout MSEs as numpy."""
+    from ..ops.streaming import StreamedPackedOp
+    if isinstance(op, StreamedPackedOp):
+        from .mv_streamed import cv_mv_host
+        return np.asarray(cv_mv_host(
+            op, data, cfg, ks, train, test, init_beta=init_beta,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            show_progress=show_progress, verbose=verbose))
     if checkpoint_dir is not None or show_progress:
         return _cv_mv_segmented(op, data, cfg, ks, train, test, init_beta,
                                 checkpoint_dir, checkpoint_every,

@@ -63,18 +63,25 @@ def run_iht_host(op, data: FitData, cfg: FitConfig, st: IHTState,
 
 
 def fit_fused_sparse_host(op, data: FitData, cfg: FitConfig, ks, cv_wts,
-                          init_beta: bool = False, io=None):
+                          init_beta: bool = False, io=None,
+                          checkpoint_dir=None, checkpoint_every: int = 20,
+                          verbose: bool = False):
     """Streamed equivalent of univariate.fit_fused_sparse: init + solve +
     finalize + pve + sparse extraction, driven from the host.  When ``io`` is
     given, per-iteration progress lines tee to it AND stdout — same format as
-    the resident teed path (reference src/fit.jl:194-196)."""
+    the resident teed path (reference src/fit.jl:194-196).
+
+    A >HBM *final fit* on a slow link is hours long (e.g. the 20.5 GB
+    80k x 1M problem, STREAM.json), so ``checkpoint_dir`` gives it the same
+    kill-and-resume safety as cv_fused_host — a restored state continues
+    bit-exactly (the host driver is deterministic given the state)."""
     import jax as _jax
     from .initialize import init_state
     from .pve import pve as _pve
 
-    on_iteration = None
+    tee = None
     if io is not None:
-        def on_iteration(s):
+        def tee(s):
             logl, bt, tol, _ = _jax.device_get(
                 U.progress_stats.__wrapped__(cfg, s))
             line = (f"Iteration {int(s.iteration)}: loglikelihood = "
@@ -85,6 +92,25 @@ def fit_fused_sparse_host(op, data: FitData, cfg: FitConfig, ks, cv_wts,
 
     st = init_state.__wrapped__(op, data, cfg, ks, cv_wts,
                                 init_beta=init_beta)
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import restore_state
+        restored = restore_state(checkpoint_dir, st)
+        if restored is not None:
+            st, step = restored
+            if verbose:
+                print(f"resuming streamed fit from checkpoint step {step}")
+
+    def on_iteration(s):
+        if tee is not None:
+            tee(s)
+        it = int(s.iteration)
+        if checkpoint_dir is not None and it % checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+            _jax.block_until_ready(s.b)
+            save_state(checkpoint_dir, s, it)
+            if verbose:
+                print(f"checkpoint at iteration {it}")
+
     st = run_iht_host(op, data, cfg, st, on_iteration=on_iteration)
     sigma_g = jnp.stack([_pve(data.y, st.mu[b], data.sample_mask, data.n_true)
                          for b in range(st.mu.shape[0])])

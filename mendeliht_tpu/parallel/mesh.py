@@ -109,6 +109,48 @@ def shard_state(st, mesh: Mesh):
     return dataclasses.replace(st, **updates)
 
 
+def mv_state_sharding(mesh: Mesh):
+    """MIHTState shardings: (T, r, p) tensors over (task, -, snp); (T, r, n)
+    and (T, r, q) over (task,); per-task scalars over (task,)."""
+    trp = NamedSharding(mesh, P("task", None, "snp"))
+    trx = NamedSharding(mesh, P("task", None, None))
+    tn = NamedSharding(mesh, P("task", None))
+    t_ = NamedSharding(mesh, P("task"))
+    rep = NamedSharding(mesh, P())
+    return dict(
+        B=trp, B0=trp, best_B=trp, df=trp,
+        C=trx, C0=trx, best_C=trx, df2=trx,
+        Gamma=trx, Gamma0=trx,
+        BX=trx, CZ=trx, mu=trx, resid=trx,
+        sel_idx=tn, sel_valid=tn, idc=tn, cv_wts=tn,
+        logl=t_, best_logl=t_, k=t_, active=t_, failed=t_,
+        iters=t_, eta=t_, backtracks=t_,
+        iteration=rep,
+    )
+
+
+def shard_mv_state(st, mesh: Mesh):
+    """Apply the canonical shardings to an MIHTState."""
+    import dataclasses
+    sh = mv_state_sharding(mesh)
+    updates = {}
+    for f in dataclasses.fields(st):
+        if f.name in sh:
+            updates[f.name] = jax.device_put(getattr(st, f.name), sh[f.name])
+    return dataclasses.replace(st, **updates)
+
+
+def shard_mv_data(data, mesh: Mesh):
+    """MvData is replicated (Y, z, masks are small per-sample arrays)."""
+    import dataclasses
+    rep = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        data,
+        Y=jax.device_put(data.Y, rep), z=jax.device_put(data.z, rep),
+        zkeep=jax.device_put(data.zkeep, rep),
+        sample_mask=jax.device_put(data.sample_mask, rep))
+
+
 def shard_geno_op(op, mesh: Mesh, explicit: bool = True):
     """Shard a PackedOp's genotype arrays across the 'snp' axis.
 

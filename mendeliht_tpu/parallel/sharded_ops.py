@@ -32,6 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import decode
 from ..ops.linalg import PackedOp
+from ..ops.projections import fast_top_k
 from ..genotype.snparray import PackedGenotypes
 
 
@@ -288,6 +289,133 @@ class ShardedPackedOp:
         c_new = jnp.where(zkeep[None, :], c, c_new)
         sel_keep = keep & (vals != 0)
         return b_new, c_new, sel_idx, vals, sel_keep
+
+    # --- multivariate products (reference src/multivariate.jl:66-92) -------
+    # The mv score reshapes (T, r, n_pad) -> (T*r, n_pad) before X'R; doing
+    # that reshape OUTSIDE shard_map breaks the task-axis contract (T*r rows
+    # are only task-aligned inside a shard), so these run it per shard.
+
+    def xtr_multi(self, GR: jnp.ndarray) -> jnp.ndarray:
+        """(T, r, n_pad) -> (T, r, p): the mv score df = (Gamma R) X' with
+        the trait axis riding the RHS batch inside each shard."""
+        g = self.geno
+
+        def local(words, mu, inv_sd, GR):
+            T_l, r, n_pad = GR.shape
+            A, M, _ = _local_xt_dots(words, GR.reshape(T_l * r, n_pad),
+                                     g.has_missing, mu.shape[0])
+            colsum = jnp.sum(GR, axis=2).reshape(T_l * r)
+            corr = M - colsum[None, :] if g.has_missing else -colsum[None, :]
+            out = (inv_sd[:, None] * (A + mu[:, None] * corr)).T
+            return out.reshape(T_l, r, -1)
+
+        f = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("snp", None), P("snp"), P("snp"), P("task", None, None)),
+            out_specs=P("task", None, "snp"))
+        return f(g.words, g.mu, g.inv_sd, GR)
+
+    def take_b_multi(self, arr, gidx, gval):
+        """Masked (T, r, S) gather from a SNP-sharded (T, r, p) array."""
+        def local(a_l, gidx, gval):
+            lidx, owned = _local_slice(gidx, a_l.shape[2])
+            v = jnp.take_along_axis(
+                a_l, lidx[:, None, :].repeat(a_l.shape[1], 1), axis=2)
+            keep = (owned & gval)[:, None, :]
+            v = jnp.where(keep, v, jnp.zeros((), v.dtype))
+            return jax.lax.psum(v, "snp")
+
+        f = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("task", None, "snp"), P("task", None), P("task", None)),
+            out_specs=P("task", None, None))
+        return f(arr, gidx, gval)
+
+    def project_joint_mv(self, Bm, Cm, k_plus_keep, zkeep, S_entries: int):
+        """Sharded mv entry-level projection (mv._project_joint_mv semantics,
+        reference project_k! src/multivariate.jl:108-127): two-stage top-k
+        over the trait-major flattened [vec(B); vec(C)] — per-shard top-S
+        candidates over the local (r, p_local) block, one (T, ns*S + r*q)
+        candidate exchange, never a gather of the (T, r, p) tensor."""
+        p = self.p
+        T, r, _ = Bm.shape
+        q = Cm.shape[2]
+
+        def local(B_l, C_l, kpk, zk):
+            T_l, r, p_local = B_l.shape
+            off = jax.lax.axis_index("snp") * p_local
+            flatB = B_l.reshape(T_l, r * p_local)
+            Sl = min(S_entries, r * p_local)
+            v, i = fast_top_k(jnp.abs(flatB), Sl)
+            xv = jnp.take_along_axis(flatB, i, axis=1)
+            # local flat (trait j, col loc) -> global flat j*p + off + loc
+            gi = (i // p_local) * p + off + (i % p_local)
+            cand_v = jax.lax.all_gather(v, "snp", axis=1, tiled=True)
+            cand_i = jax.lax.all_gather(gi, "snp", axis=1, tiled=True)
+            cand_x = jax.lax.all_gather(xv, "snp", axis=1, tiled=True)
+            flatC = C_l.reshape(T_l, r * q)
+            pin_c = jnp.tile(zk, r)
+            magc = jnp.where(pin_c[None, :], jnp.inf, jnp.abs(flatC))
+            cat_v = jnp.concatenate([cand_v, magc], axis=1)
+            cat_i = jnp.concatenate(
+                [cand_i, jnp.broadcast_to(
+                    r * p + jnp.arange(r * q, dtype=cand_i.dtype)[None, :],
+                    (T_l, r * q))], axis=1)
+            cat_x = jnp.concatenate([cand_x, flatC], axis=1)
+            _, sel = jax.lax.top_k(cat_v, S_entries)
+            sel_idx = jnp.take_along_axis(cat_i, sel, axis=1)
+            vals = jnp.take_along_axis(cat_x, sel, axis=1)
+            keep = jnp.arange(S_entries)[None, :] < kpk[:, None]
+            kept = jnp.where(keep, vals, jnp.zeros((), vals.dtype))
+            # scatter owned B entries
+            tr = sel_idx // p          # trait for B entries (< r when B)
+            col = sel_idx % p
+            is_b = sel_idx < r * p
+            lcol = col - off
+            owned = is_b & (lcol >= 0) & (lcol < p_local)
+            lflat = jnp.where(owned, tr * p_local + lcol, 0)
+            B_new = jnp.zeros_like(flatB).at[
+                jnp.arange(T_l)[:, None], lflat
+            ].add(jnp.where(owned, kept, jnp.zeros((), kept.dtype)))
+            # C entries are replicated over 'snp'
+            cflat = jnp.where(~is_b, sel_idx - r * p, 0)
+            C_new = jnp.zeros_like(flatC).at[
+                jnp.arange(T_l)[:, None], cflat
+            ].add(jnp.where(~is_b, kept, jnp.zeros((), kept.dtype)))
+            C_new = jnp.where(pin_c[None, :], flatC, C_new)
+            return (B_new.reshape(T_l, r, p_local),
+                    C_new.reshape(T_l, r, q))
+
+        f = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("task", None, "snp"), P("task", None, None),
+                      P("task"), P()),
+            out_specs=(P("task", None, "snp"), P("task", None, None)),
+            check_vma=False)
+        return f(Bm, Cm, k_plus_keep, zkeep)
+
+    def column_support_mv(self, Bm, S: int):
+        """Sharded mv column support: top-S SNP columns by max |B| over
+        traits (mv._column_support semantics), via per-shard top-S candidate
+        exchange."""
+        def local(B_l):
+            T_l, r, p_local = B_l.shape
+            off = jax.lax.axis_index("snp") * p_local
+            colmag = jnp.max(jnp.abs(B_l), axis=1)          # (T_l, p_local)
+            Sl = min(S, p_local)
+            v, i = fast_top_k(colmag, Sl)
+            cand_v = jax.lax.all_gather(v, "snp", axis=1, tiled=True)
+            cand_i = jax.lax.all_gather(i + off, "snp", axis=1, tiled=True)
+            vals, sel = jax.lax.top_k(cand_v, S)
+            sel_idx = jnp.take_along_axis(cand_i, sel, axis=1)
+            return sel_idx, vals != 0
+
+        f = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("task", None, "snp"),),
+            out_specs=(P("task", None), P("task", None)),
+            check_vma=False)
+        return f(Bm)
 
     def col_moments(self, W, WY):
         g = self.geno

@@ -157,9 +157,13 @@ def _build_fit_uncached(y, x, z=None, *, k=10, J=1, d=None, l=None,
         if group_k_is_vector:
             gks = np.asarray(k, np.int32)
             k_scalar = int(np.sum(gks))
+            # sharded-projection candidate budget: a shard-local per-group
+            # top-k keeps at most sum(ks) entries
+            group_cand = min(p, int(np.sum(gks)))
         else:
             gks = np.full(n_groups, int(k), np.int32)
             k_scalar = int(J) * int(k)
+            group_cand = min(p, n_groups * int(k))
     else:
         # placeholder: data.group is only read when cfg.use_group (static), so
         # skip shipping a p-length array to the device on every fit — the
@@ -168,6 +172,7 @@ def _build_fit_uncached(y, x, z=None, *, k=10, J=1, d=None, l=None,
         n_groups = 1
         gks = np.asarray([0], np.int32)
         k_scalar = int(k)
+        group_cand = 0
 
     has_weight = weight is not None and np.asarray(weight).size > 0
     if has_weight:
@@ -229,6 +234,7 @@ def _build_fit_uncached(y, x, z=None, *, k=10, J=1, d=None, l=None,
                str(est_r).lower().strip(":")),
         debias=bool(debias), use_group=bool(use_group), J=int(J),
         n_groups=n_groups, group_k_is_vector=group_k_is_vector,
+        group_cand=group_cand,
         has_weight=bool(has_weight), dtype=str(np.dtype(dtype)),
     )
     return op, data, cfg, k_scalar

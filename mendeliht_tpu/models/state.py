@@ -72,6 +72,10 @@ class FitConfig:
     J: int = 1
     n_groups: int = 0
     group_k_is_vector: bool = False
+    group_cand: int = 0         # static per-shard candidate budget for the
+                                # sharded group projection (>= max survivors
+                                # of a local per-group top-k; see
+                                # parallel/sharded_ops.py)
     has_weight: bool = False
     dtype: str = "float32"
     log_iters: bool = False     # jax.debug.print per-iteration progress

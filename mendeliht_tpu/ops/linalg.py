@@ -46,6 +46,35 @@ def _use_pallas() -> bool:
         return False
 
 
+def _vt_max_m() -> int:
+    """Largest RHS width routed to the transposed (weight-stationary) kernel
+    when the dual layout is stored.  Default from the measured crossover
+    (tools/kernel_lab5.py: vt wins every m <= 32 raced on the v5e)."""
+    import os
+    from .pallas_kernels import _VT_MAX_M
+    try:
+        return int(os.environ.get("MENDELIHT_VT_MAX_M", _VT_MAX_M))
+    except ValueError:
+        return _VT_MAX_M
+
+
+# Dual-layout policy: store the transposed score layout alongside the quad
+# words when BOTH fit comfortably in HBM. 2x packed bytes must stay well
+# under the chip's HBM minus solver state; the v5e (16 GiB) bound below
+# leaves >= 10 GiB for everything else. Override with
+# MENDELIHT_DUAL_MAX_BYTES (0 disables dual storage entirely).
+_DUAL_MAX_BYTES = 3 * 2**30
+
+
+def _dual_budget() -> int:
+    import os
+    try:
+        return int(os.environ.get("MENDELIHT_DUAL_MAX_BYTES",
+                                  _DUAL_MAX_BYTES))
+    except ValueError:
+        return _DUAL_MAX_BYTES
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PackedOp:
@@ -77,12 +106,19 @@ class PackedOp:
     def _xt_dots(self, RT, want_sq=False):
         """Dispatch the full-width raw dots to the active backend.
 
-        Pallas consumes the canonical int32 words directly; the XLA oracle
-        derives the byte view (cheap relative to its own decode cost, and only
-        used off-TPU / in tests)."""
+        Pallas consumes the canonical int32 words directly; when the dual
+        (transposed) layout is stored AND the RHS is narrow, the
+        weight-stationary transposed kernel runs instead (~2x at m <= 8,
+        tools/kernel_lab5.py; crossover threshold MENDELIHT_VT_MAX_M).  The
+        XLA oracle derives the byte view (cheap relative to its own decode
+        cost, and only used off-TPU / in tests)."""
         g = self.geno
         if _use_pallas():
             from . import pallas_kernels as pk
+            if g.words_t is not None and RT.shape[1] <= _vt_max_m():
+                return pk.xt_dots_words_t(
+                    g.words_t, RT, want_missing=g.has_missing,
+                    want_sq=want_sq, p=g.p)
             return pk.xt_dots_words(g.words, RT, want_missing=g.has_missing,
                                     want_sq=want_sq, p=g.p)
         return decode.xt_dots(g.packed, RT, want_missing=g.has_missing,
@@ -222,6 +258,9 @@ def make_operator(x, dtype=jnp.float32):
     if isinstance(x, (PackedOp, DenseOp)) or hasattr(x, "xtr"):
         return x  # already an operator (incl. parallel.ShardedPackedOp)
     if isinstance(x, PackedGenotypes):
+        if (_use_pallas() and x.words_t is None
+                and x.words.nbytes <= _dual_budget()):
+            x = x.with_dual_layout()
         return PackedOp(x)
     from .streaming import HostStreamedGenotypes, StreamedPackedOp
     if isinstance(x, HostStreamedGenotypes):

@@ -333,6 +333,233 @@ def xt_dots_words(words: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
     return A, M, S
 
 
+# ---------------------------------------------------------------------------
+# transposed-words variant: decoded values ride the MXU as WEIGHTS
+# ---------------------------------------------------------------------------
+# Same decode algebra over the TRANSPOSED per-SNP word view ``words_t
+# (nw = n4/4, p)`` (element (w, j) = bytes [4w, 4w+4) of SNP j's
+# crumb-transposed row).  The i32->i8 sublane bitcast of a (tw, tp) tile
+# yields a (4tw, tp) i8 operand whose SUBLANES are sample bytes and lanes are
+# SNPs — the decoded tile becomes the dot's stationary-weights operand,
+# ``dot(rhs_q (3mc, 4tw), vq (4tw, tp)) -> (3mc, tp)``.  Measured on the
+# v5e (tools/kernel_lab5.py): weight-stationary ingestion is ~2x faster than
+# the quad kernel's streaming-lhs orientation at small RHS width (m=1:
+# 5.1 ms/pass vs 9.2-24 ms, vs the 3.4 ms DMA floor), and stays ahead or
+# equal through m~64.  The price is gather locality: a per-SNP column gather
+# from words_t touches a full 128-lane block per sample-word row (~327 KB
+# per SNP at n=10k), so words_t NEVER serves the k-sparse forward/gather
+# products — it is a second, score-only layout (dual storage, +2 bits per
+# genotype) selected per call by RHS width (see linalg._xt_dots).
+
+_VT_TP = 1024
+_VT_MAX_M = 4096   # RHS-width cutover to the quad kernel when dual storage
+                   # exists. Default = effectively always-vt: the round-5
+                   # race (tools/kernel_lab5.py, fresh compiles) measured vt
+                   # <= quad at EVERY m (m=1: 5.1 vs 24 ms; m=100: 28 vs
+                   # 39 ms) under the current Mosaic version; under the
+                   # round-4 Mosaic the quad kernel won only m >= 64 by
+                   # ~15% (23.6 vs 27.8 at m=100) — see ROOFLINE.json
+                   # compiler_variance wall. Override: MENDELIHT_VT_MAX_M
+                   # (e.g. 32 restores the conservative crossover).
+                   # Problems whose packed bytes exceed the dual-storage
+                   # budget (linalg._dual_budget) never build words_t and
+                   # always run the gather-friendly quad kernel.
+
+
+def _pick_tiles_t(nw: int, tp: int, m: int, n_acc: int):
+    """(tw, mc) for the transposed kernel under the VMEM budget.
+
+    Per chunk: double-buffered (tw, tp) i32 words tile + ~3 tile-sized
+    decode temporaries (fixed), resident (4, 3mc, 4*nw_pad) i8 rhs planes,
+    n_acc (3mc, tp) i32 accumulators + (mc, tp) f32 outputs (per_mc)."""
+    best = None
+    for tw in (512, 256, 128, 64, 32, 16, 8):
+        if tw > nw and tw != 8:
+            continue
+        tw_eff = min(tw, nw)
+        nw_pad = _cdiv(nw, tw_eff) * tw_eff
+        fixed = (2 + 3) * tw_eff * tp * 4
+        per_mc = 48 * nw_pad + n_acc * (3 * tp * 4 + tp * 4)
+        if fixed >= _VMEM_BUDGET:
+            continue
+        mc = min((_VMEM_BUDGET - fixed) // per_mc, 256)
+        if mc < 1:
+            continue
+        mc = int(min(mc, m))
+        cand = (_cdiv(m, mc), -tw_eff, mc)
+        if best is None or cand < best:
+            best = cand
+    if best is None:
+        return min(8, nw), 1
+    _chunks, neg_tw, mc = best
+    return -neg_tw, mc
+
+
+def _kernel_t(wordsT_ref, rhs_ref, scale_ref, *refs, want_missing, want_sq,
+              tw):
+    """refs = out_refs [A, M?, S?] then scratch accs; wordsT tile (tw, tp)
+    i32; rhs_ref holds the FULL (4, 3mc, 4*nw_pad) digit planes (constant
+    block index, VMEM-resident); each grid step slices its (3mc, 4tw)
+    window at j*4*tw."""
+    n_out = 1 + int(want_missing) + int(want_sq)
+    out_refs = refs[:n_out]
+    acc_refs = refs[n_out:]
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    mc = out_refs[0].shape[0]
+
+    @pl.when(j == 0)
+    def _init():
+        for a in acc_refs:
+            a[:] = jnp.zeros_like(a)
+
+    t = wordsT_ref[:]
+    h = (t >> 1) & 0x55555555
+    w = h + (h & t)
+    if want_missing:
+        lo05 = t & 0x55555555
+        m16 = lo05 - (lo05 & h)
+    it = iter(acc_refs)
+    acc_a = next(it)[:]
+    acc_m = next(it)[:] if want_missing else None
+    acc_h = next(it)[:] if want_sq else None
+    dn = (((1,), (0,)), ((), ()))       # (3mc, 4tw) x (4tw, tp) -> (3mc, tp)
+    for q in range(4):
+        rhs_q = rhs_ref[q, :, pl.ds(j * 4 * tw, 4 * tw)]       # (3mc, 4tw)
+        vq = pltpu.bitcast((w >> (2 * q)) & 0x03030303, jnp.int8)
+        acc_a = acc_a + jax.lax.dot_general(
+            rhs_q, vq, dn, preferred_element_type=jnp.int32)
+        if want_missing:
+            mq = pltpu.bitcast((m16 >> (2 * q)) & 0x01010101, jnp.int8)
+            acc_m = acc_m + jax.lax.dot_general(
+                rhs_q, mq, dn, preferred_element_type=jnp.int32)
+        if want_sq:
+            hq = pltpu.bitcast((h >> (2 * q)) & 0x01010101, jnp.int8)
+            acc_h = acc_h + jax.lax.dot_general(
+                rhs_q, hq, dn, preferred_element_type=jnp.int32)
+    it = iter(acc_refs)
+    next(it)[:] = acc_a
+    if want_missing:
+        next(it)[:] = acc_m
+    if want_sq:
+        next(it)[:] = acc_h
+
+    @pl.when(j == nj - 1)
+    def _combine():
+        s = scale_ref[:]                                 # (mc, 1) f32
+
+        def comb(acc):
+            a = acc.astype(jnp.float32)
+            return (16384.0 * a[0:mc] + 128.0 * a[mc:2 * mc]
+                    + a[2 * mc:3 * mc]) * s
+
+        A = comb(acc_a)
+        out_refs[0][:] = A
+        k = 1
+        if want_missing:
+            out_refs[k][:] = comb(acc_m)
+            k += 1
+        if want_sq:
+            out_refs[k][:] = 3.0 * A - 2.0 * comb(acc_h)
+
+
+def _xt_dots_chunk_t(wordsT, rr, scale, *, want_missing, want_sq, tp, tw,
+                     interpret=False):
+    """wordsT (nw, p) i32, rr (4, 3mc, 4*nw_pad) i8, scale (mc,)
+    -> (A, M, S) each (mc, p) f32."""
+    nw, p = wordsT.shape
+    mc = rr.shape[1] // 3
+    nw_pad = rr.shape[2] // 4
+    grid = (_cdiv(p, tp), _cdiv(nw, tw))
+    in_specs = [
+        pl.BlockSpec((tw, tp), lambda i, j: (j, i)),
+        pl.BlockSpec((4, 3 * mc, 4 * nw_pad), lambda i, j: (0, 0, 0)),
+        pl.BlockSpec((mc, 1), lambda i, j: (0, 0)),
+    ]
+    out_spec = pl.BlockSpec((mc, tp), lambda i, j: (0, i))
+    n_out = 1 + int(want_missing) + int(want_sq)
+    cost = pl.CostEstimate(
+        flops=2 * p * 16 * nw * 3 * mc * n_out,
+        bytes_accessed=p * nw * 4 + 48 * nw_pad * mc + p * mc * 4 * n_out,
+        transcendentals=0)
+    kern = functools.partial(_kernel_t, want_missing=want_missing,
+                             want_sq=want_sq, tw=tw)
+    outs = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=(out_spec,) * n_out,
+        out_shape=(jax.ShapeDtypeStruct((mc, p), jnp.float32),) * n_out,
+        scratch_shapes=[pltpu.VMEM((3 * mc, tp), jnp.int32)] * n_out,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(wordsT, rr, scale[:, None])
+    it = iter(outs)
+    return (next(it),
+            next(it) if want_missing else None,
+            next(it) if want_sq else None)
+
+
+@functools.partial(jax.jit, static_argnames=("want_missing", "want_sq", "tp",
+                                             "tw", "interpret", "p"))
+def xt_dots_words_t(words_t: jnp.ndarray, rhs: jnp.ndarray, *,
+                    want_missing: bool, want_sq: bool = False,
+                    tp: int = _VT_TP, tw: int | None = None,
+                    interpret: bool = False, p: int | None = None):
+    """Transposed-layout fused decode + multi-RHS dots (xt_dots_words
+    contract, transposed storage): words_t (nw, p) int32, rhs (16*nw, m).
+
+    Returns (A, M, S) each (p_out, m) f32 like xt_dots_words (p_out = p or
+    the stored column count).  NaN rhs columns re-poison like the quad path."""
+    nw, p_tot = words_t.shape
+    n4 = 4 * nw
+    m = rhs.shape[1]
+    n_acc = 1 + int(want_missing) + int(want_sq)
+    tw_pick, mc = _pick_tiles_t(nw, tp, m, n_acc)
+    if tw is None:
+        tw = tw_pick
+    nw_pad = _cdiv(nw, tw) * tw
+    planes, scale = _quantize_rhs_planes(rhs)            # (3m, n_pad), (m,)
+    nan_guard = (jnp.sum(rhs, axis=0) * 0.0).astype(jnp.float32)   # (m,)
+
+    outs = [[], [], []]
+    for lo in range(0, m, mc):
+        hi = min(lo + mc, m)
+        chunk = jnp.concatenate([planes[lo:hi], planes[m + lo:m + hi],
+                                 planes[2 * m + lo:2 * m + hi]], axis=0)
+        # (3c, 4, n4) -> (4, 3c, n4): crumb-plane q = samples [q*n4, (q+1)n4)
+        rr = jnp.transpose(chunk.reshape(3 * (hi - lo), 4, n4), (1, 0, 2))
+        if nw_pad != nw:
+            rr = jnp.pad(rr, ((0, 0), (0, 0), (0, 4 * (nw_pad - nw))))
+        o = _xt_dots_chunk_t(words_t, rr, scale[lo:hi],
+                             want_missing=want_missing, want_sq=want_sq,
+                             tp=tp, tw=tw, interpret=interpret)
+        for k in range(3):
+            if o[k] is not None:
+                outs[k].append(o[k])
+
+    def merge(parts):
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        out = out.T + nan_guard[None, :]                 # (p_tot, m)
+        return out if p is None else out[:p]
+
+    A = merge(outs[0])
+    M = merge(outs[1]) if want_missing else None
+    S = merge(outs[2]) if want_sq else None
+    return A, M, S
+
+
+def build_words_t(words: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Derive the transposed per-SNP word view (nw, p) ON DEVICE from the
+    canonical quad words (p4, n4) — no host round-trip (the packed matrix
+    may be GBs and the host link slow).  One-time relayout at problem build;
+    transient peak ~2x packed bytes."""
+    p4, n4 = words.shape
+    by = jax.lax.bitcast_convert_type(words, jnp.uint8)       # (p4, n4, 4)
+    packed = jnp.transpose(by, (0, 2, 1)).reshape(4 * p4, n4)[:p]
+    snp_words = jax.lax.bitcast_convert_type(
+        packed.reshape(p, n4 // 4, 4), jnp.int32)             # (p, nw)
+    return jnp.transpose(snp_words, (1, 0))                   # (nw, p)
+
+
 def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,
             want_sq: bool = False, tp: int = _TP, tw: int | None = None,
             interpret: bool = False):

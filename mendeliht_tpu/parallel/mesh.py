@@ -68,7 +68,8 @@ def pad_geno_rows(geno, n_shards: int):
     mu = jnp.concatenate([geno.mu, jnp.zeros(extra, geno.mu.dtype)])
     inv = jnp.concatenate([geno.inv_sd, jnp.zeros(extra, geno.inv_sd.dtype)])
     return dataclasses.replace(geno, words=words, mu=mu, inv_sd=inv,
-                               p=p_pad, maf_=None, n_missing=None)
+                               p=p_pad, maf_=None, n_missing=None,
+                               words_t=None)
 
 
 def geno_sharding(mesh: Mesh):
@@ -169,7 +170,9 @@ def shard_geno_op(op, mesh: Mesh, explicit: bool = True):
         g,
         words=jax.device_put(g.words, sh["words"]),
         mu=jax.device_put(g.mu, sh["mu"]),
-        inv_sd=jax.device_put(g.inv_sd, sh["inv_sd"]))
+        inv_sd=jax.device_put(g.inv_sd, sh["inv_sd"]),
+        words_t=None)   # score-only dual layout is single-chip; each shard's
+                        # xtr runs on its own quad rows
     if explicit:
         from .sharded_ops import ShardedPackedOp
         return ShardedPackedOp(g2, mesh)

@@ -290,6 +290,76 @@ class ShardedPackedOp:
         sel_keep = keep & (vals != 0)
         return b_new, c_new, sel_idx, vals, sel_keep
 
+    # --- group (doubly-sparse) projection ---------------------------------
+    def project_group_sparse(self, b1, group, J: int, ks, k_task,
+                             n_groups: int, cand: int):
+        """Sharded doubly-sparse projection (reference project_group_sparse!,
+        src/utilities.jl:613-679): per-shard group-local top-k -> bounded
+        (B, cand) candidate exchange -> replicated global projection over
+        candidates -> owned scatter.  Exact: every global survivor also
+        survives its shard-local per-group top-k, and `cand`
+        (cfg.group_cand, clamped to p_local) bounds the local survivor
+        count, so the candidate union always contains the global support.
+        The (B, p) array never leaves its shards (the same reconciliation
+        that caught the top-k all-gather, SCALING.json model_vs_measured).
+
+        ``ks`` (n_groups,) per-group caps is used when k_task is None;
+        otherwise every group's cap is the task's own scalar ``k_task`` (B,)
+        (reference v.k semantics, src/utilities.jl:255)."""
+        from ..ops.projections import _group_sparse_one, fast_top_k
+        p = self.p
+
+        def local(b_l, group, ks, k_task):
+            B, p_local = b_l.shape
+            off = jax.lax.axis_index("snp") * p_local
+            group0 = jax.lax.dynamic_slice(
+                (group - 1).astype(jnp.int32), (off,), (p_local,))
+            Sg = min(max(cand, 1), p_local)
+
+            def one_local(v, ksg):
+                # group-local top-k only: J = n_groups disables group choice
+                return _group_sparse_one(v, group0, ksg, n_groups, n_groups)
+
+            if k_task is None:
+                v_loc = jax.vmap(lambda v: one_local(v, ks))(b_l)
+            else:
+                v_loc = jax.vmap(lambda v, kt: one_local(
+                    v, jnp.broadcast_to(kt, (n_groups,))))(b_l, k_task)
+            vals, lidx = fast_top_k(jnp.abs(v_loc), Sg)
+            xv = jnp.take_along_axis(v_loc, lidx, axis=1)
+            g_cand = group0[lidx]                          # (B, Sg)
+            cat_x = jax.lax.all_gather(xv, "snp", axis=1, tiled=True)
+            cat_i = jax.lax.all_gather(lidx + off, "snp", axis=1, tiled=True)
+            cat_g = jax.lax.all_gather(g_cand, "snp", axis=1, tiled=True)
+
+            def one_global(xv, gv, ksg):
+                return _group_sparse_one(xv, gv, ksg, J, n_groups)
+
+            if k_task is None:
+                kept = jax.vmap(lambda xv, gv: one_global(xv, gv, ks))(
+                    cat_x, cat_g)
+            else:
+                kept = jax.vmap(lambda xv, gv, kt: one_global(
+                    xv, gv, jnp.broadcast_to(kt, (n_groups,))))(
+                    cat_x, cat_g, k_task)
+            lsel = cat_i - off
+            owned = (lsel >= 0) & (lsel < p_local)
+            return jnp.zeros_like(b_l).at[
+                jnp.arange(B)[:, None], jnp.where(owned, lsel, 0)
+            ].add(jnp.where(owned, kept, jnp.zeros((), kept.dtype)))
+
+        specs = [P("task", "snp"), P(), P()]
+        args = [b1, jnp.asarray(group), jnp.asarray(ks, jnp.int32)]
+        if k_task is None:
+            fn = lambda b_l, g, ks: local(b_l, g, ks, None)
+        else:
+            specs.append(P("task"))
+            args.append(jnp.asarray(k_task, jnp.int32))
+            fn = lambda b_l, g, ks, kt: local(b_l, g, ks, kt)
+        f = shard_map(fn, mesh=self.mesh, in_specs=tuple(specs),
+                      out_specs=P("task", "snp"), check_vma=False)
+        return f(*args)
+
     # --- multivariate products (reference src/multivariate.jl:66-92) -------
     # The mv score reshapes (T, r, n_pad) -> (T*r, n_pad) before X'R; doing
     # that reshape OUTSIDE shard_map breaks the task-axis contract (T*r rows

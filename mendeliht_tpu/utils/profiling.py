@@ -184,7 +184,8 @@ def stream_bandwidth(geno, iters: int = 50) -> float:
 
 
 def kernel_roofline(geno, m: int = 1, iters: int = 10, want_missing=None,
-                    measured_roof: float | None = None):
+                    measured_roof: float | None = None,
+                    layout: str = "quad"):
     """Achieved bandwidth of the X'R pass on `geno` (PackedGenotypes).
 
     Returns dict with ms/pass, effective GB/s over packed bytes, and the
@@ -202,10 +203,16 @@ def kernel_roofline(geno, m: int = 1, iters: int = 10, want_missing=None,
 
     import functools
 
+    if layout == "vt":
+        assert geno.words_t is not None, "build the dual layout first"
+
     @functools.partial(jax.jit, static_argnames=("wm", "iters"))
     def loop(arr, rhs0, wm, iters):
         def body(r, _):
-            if use_pallas:
+            if use_pallas and layout == "vt":
+                from ..ops import pallas_kernels as pk
+                A, M, _ = pk.xt_dots_words_t(arr, r, want_missing=wm)
+            elif use_pallas:
                 from ..ops import pallas_kernels as pk
                 A, M, _ = pk.xt_dots_words(arr, r, want_missing=wm)
             else:
@@ -215,7 +222,8 @@ def kernel_roofline(geno, m: int = 1, iters: int = 10, want_missing=None,
         _, outs = jax.lax.scan(body, rhs0, None, length=iters)
         return outs
 
-    arr = geno.words if use_pallas else geno.packed
+    arr = (geno.words_t if layout == "vt" and use_pallas
+           else geno.words if use_pallas else geno.packed)
     nbytes = geno.words.nbytes
     rhs0 = jnp.ones((n_pad, m), jnp.float32)
     np.asarray(loop(arr, rhs0, want_missing, iters)[-1])             # compile
@@ -233,6 +241,7 @@ def kernel_roofline(geno, m: int = 1, iters: int = 10, want_missing=None,
         "rhs_columns": m,
         "want_missing": want_missing,
         "backend": "pallas" if use_pallas else "xla",
+        "layout": layout,
     }
     if measured_roof:
         out["measured_stream_gbytes_per_s"] = measured_roof / 1e9

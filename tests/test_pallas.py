@@ -199,3 +199,108 @@ def test_cv_pallas_equals_xla_on_tpu(rng):
     assert int(np.argmin(mse0)) == int(np.argmin(mse1))
     np.testing.assert_allclose(np.asarray(mse0), np.asarray(mse1),
                                rtol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# transposed (dual-layout) kernel: xt_dots_words_t
+# ---------------------------------------------------------------------------
+
+def _words_t_host(packed_np):
+    """Host oracle for the transposed per-SNP word view (nw, p)."""
+    p, n4 = packed_np.shape
+    wh = np.ascontiguousarray(packed_np).view(np.dtype("<i4")).reshape(p, -1)
+    return np.ascontiguousarray(wh.T)
+
+
+@pytest.mark.parametrize("want_missing", [False, True])
+@pytest.mark.parametrize("want_sq", [False, True])
+def test_xt_dots_t_parity_planes(rng, want_missing, want_sq):
+    """Transposed kernel (interpret) == XLA oracle for every output plane."""
+    n, p, m = 200, 40, 3
+    codes = _random_codes(rng, n, p, missing=want_missing)
+    packed = pack_codes(codes)                       # (p, n4=128)
+    n4 = packed.shape[1]
+    wt = jnp.asarray(_words_t_host(packed))          # (nw=32, p)
+    rhs = jnp.asarray(rng.standard_normal((4 * n4, m)), jnp.float32)
+
+    A0, M0, S0 = decode.xt_dots(jnp.asarray(packed), rhs,
+                                want_missing=want_missing, want_sq=want_sq)
+    A1, M1, S1 = pk.xt_dots_words_t(wt, rhs, want_missing=want_missing,
+                                    want_sq=want_sq, tp=8, tw=16,
+                                    interpret=True)
+    scale = max(1.0, float(np.abs(np.asarray(A0)).max()))
+    assert np.max(np.abs(np.asarray(A1) - np.asarray(A0))) / scale < 2e-5
+    if want_missing:
+        assert np.max(np.abs(np.asarray(M1) - np.asarray(M0))) / scale < 2e-5
+    else:
+        assert M1 is None
+    if want_sq:
+        sscale = max(1.0, float(np.abs(np.asarray(S0)).max()))
+        assert np.max(np.abs(np.asarray(S1) - np.asarray(S0))) / sscale < 2e-5
+    else:
+        assert S1 is None
+
+
+def test_xt_dots_t_padding_chunking_and_nan(rng):
+    """p not a multiple of tp, nw padded up to tw, several m-chunks, and NaN
+    column re-poisoning — on the transposed kernel."""
+    n, p, m = 130, 37, 5
+    codes = _random_codes(rng, n, p)
+    packed = pack_codes(codes)
+    n4 = packed.shape[1]
+    wt = jnp.asarray(_words_t_host(packed))
+    rhs = np.asarray(rng.standard_normal((4 * n4, m)), np.float32)
+    rhs[7, 2] = np.nan
+    rhs = jnp.asarray(rhs)
+
+    A0, M0, _ = decode.xt_dots(jnp.asarray(packed), rhs, want_missing=True)
+    old = pk._FORCE_M_CHUNK
+    try:
+        pk._FORCE_M_CHUNK = 2
+        A1, M1, _ = pk.xt_dots_words_t(wt, rhs, want_missing=True,
+                                       tp=16, tw=16, interpret=True)
+    finally:
+        pk._FORCE_M_CHUNK = old
+    assert np.all(np.isnan(np.asarray(A1)[:, 2]))    # poisoned column
+    ok = [0, 1, 3, 4]
+    scale = max(1.0, float(np.nanmax(np.abs(np.asarray(A0)))))
+    assert np.max(np.abs(np.asarray(A1)[:, ok] - np.asarray(A0)[:, ok])
+                  ) / scale < 2e-5
+    assert np.max(np.abs(np.asarray(M1)[:, ok] - np.asarray(M0)[:, ok])
+                  ) / scale < 2e-5
+
+
+def test_build_words_t_matches_host(rng):
+    """Device-side dual-layout builder == the host transpose oracle."""
+    n, p = 100, 23
+    codes = _random_codes(rng, n, p)
+    packed = pack_codes(codes)
+    g = PackedGenotypes.from_codes(codes.T)          # sample-major input
+    wt_dev = pk.build_words_t(g.words, g.p)
+    np.testing.assert_array_equal(np.asarray(wt_dev),
+                                  _words_t_host(packed))
+    g2 = g.with_dual_layout()
+    assert g2.words_t is not None and g2.words_t.shape == wt_dev.shape
+    assert g2.with_dual_layout() is g2               # idempotent
+
+
+@pytest.mark.skipif(jnp.zeros(1).devices().pop().platform != "tpu",
+                    reason="dual-layout kernel dispatch needs a TPU")
+def test_fit_dual_layout_equals_quad_on_tpu(rng):
+    """Single fit (m=1 score width) through the dual-layout vt kernel ==
+    quad-words kernel == XLA on the real chip."""
+    import mendeliht_tpu as m
+    from mendeliht_tpu.ops.linalg import set_kernel_backend
+
+    x, _ = m.simulate_random_snparray(None, 500, 2000, rng=rng)
+    y, true_b, _ = m.simulate_random_response(x, 5, m.Normal(), rng=rng)
+    xd = x.with_dual_layout()
+    try:
+        set_kernel_backend("xla")
+        r0 = m.fit_iht(y, x, k=5, verbose=False)
+        set_kernel_backend("pallas")
+        r1 = m.fit_iht(y, xd, k=5, verbose=False)
+    finally:
+        set_kernel_backend("xla")
+    assert np.flatnonzero(r0.beta).tolist() == np.flatnonzero(r1.beta).tolist()
+    assert abs(r0.logl - r1.logl) < 1e-3 * abs(r0.logl)

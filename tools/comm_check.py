@@ -153,6 +153,65 @@ def main():
               f"(measured/model = {row['ratio_measured_over_model']:.3f})",
               flush=True)
     results["meshes"] = rows
+
+    # ---- group-mode iteration: no collective may carry O(p) payload -------
+    # (round-5: _gradstep routes the doubly-sparse projection through
+    # ShardedPackedOp.project_group_sparse — per-shard group-local top-k ->
+    # bounded candidate exchange; the direct projection call would make XLA
+    # replicate the sharded (B, p) arrays, the same failure mode the round-4
+    # reconciliation caught for top-k.)
+    n_groups, kg, Jg = 512, 8, 10
+    group = np.repeat(np.arange(1, n_groups + 1), p // n_groups)
+    opg, datag, cfgg, _ = build_fit(y, g, k=kg, J=Jg, group=group,
+                                    max_iter=10)
+    ksg = jnp.full((B,), kg, jnp.int32)
+    grows = []
+    for n_task, n_snp in [(1, 8), (2, 4)]:
+        mesh = make_mesh(n_task=n_task, n_snp=n_snp)
+        op_s = shard_geno_op(opg, mesh)
+        data_s = shard_data(datag, mesh)
+        stg = init_state(opg, datag, cfgg, ksg, cv_wts)
+        st_s = shard_state(stg, mesh)
+        with mesh:
+            fn = jax.jit(lambda o, d, s: _iteration(o, d, cfgg, s))
+            hlo = fn.lower(op_s, data_s, st_s).compile().as_text()
+        meas = collective_bytes(hlo)
+        insts = meas.pop("_instructions")
+        B_l, p_local = B // n_task, p // n_snp
+        # XLA replicating the sharded (B_l, p) array all-gathers B_l*p*4
+        # bytes; the sharded projection's candidate exchange is
+        # O(ns * group_cand) — INDEPENDENT of p (2.6 MB here stays 2.6 MB
+        # at p = 1M, where replication would be 160 MB)
+        op_bound = B_l * p * 4
+        biggest = max((i["bytes"] for i in insts), default=0)
+        assert biggest < op_bound // 2, (
+            f"group-mode collective carries O(p) payload: {biggest} >= "
+            f"{op_bound // 2} (mesh {n_task}x{n_snp})")
+        grow = {
+            "mesh": {"task": n_task, "snp": n_snp},
+            "measured": meas,
+            "largest_collective_bytes": biggest,
+            "o_p_replication_bound_bytes": op_bound,
+            "largest_instructions": sorted(
+                [i for i in insts if i["bytes"] > 1e5],
+                key=lambda i: -i["bytes"])[:8],
+        }
+        grows.append(grow)
+        print(f"group mesh task={n_task} snp={n_snp}: largest collective "
+              f"{biggest/1e6:.3f} MB < O(p) bound {op_bound/1e6:.3f} MB",
+              flush=True)
+    results["group_mode"] = {
+        "problem": {"n": n, "p": p, "B": B, "n_groups": n_groups, "k": kg,
+                    "J": Jg, "group_cand": cfgg.group_cand},
+        "meshes": grows,
+        "note": (
+            "one group-mode (doubly-sparse) _iteration compiled on the mesh; "
+            "asserts NO collective instruction carries a (B_local, p_local) "
+            "or larger payload — the signature of XLA replicating a sharded "
+            "array. The sharded projection exchanges only (B, min(group_cand"
+            ", p_local)) candidate values+indices+group-ids per stage."),
+    }
+
     results["note"] = (
         "one _iteration compiled on the 8-virtual-CPU mesh at n=2048, "
         "p=131072, B=20, S=32; payload bytes are per-device result shapes of "
@@ -186,6 +245,7 @@ def main():
         slim.append(r2)
     scaling["model_vs_measured"] = {
         "problem": results["problem"], "meshes": slim,
+        "group_mode": results["group_mode"],
         "note": results["note"]}
     with open(path, "w") as f:
         json.dump(scaling, f, indent=2)

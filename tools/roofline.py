@@ -69,10 +69,7 @@ def main():
                  "TPU v6 lite": 1836e12}.get(dev.device_kind, 394e12)
     n_pad = g.n_pad
 
-    rows = []
-    for m in (1, 2, 8, 64, 100, 128):
-        r = profiling.kernel_roofline(g, m=m, iters=(25 if m <= 8 else 10),
-                                      measured_roof=stream)
+    def floors(r, m):
         dma_floor = g.words.nbytes / stream
         mxu_floor = 2.0 * bench.P * n_pad * 3 * m / INT8_TOPS
         floor = max(dma_floor, mxu_floor)
@@ -80,13 +77,32 @@ def main():
         r["int8_mxu_floor_ms"] = mxu_floor * 1e3
         r["bound_by"] = "mxu" if mxu_floor > dma_floor else "stream"
         r["fraction_of_floor"] = floor / (r["ms_per_pass"] / 1e3)
-        print(f"m={m:3d}: {r['ms_per_pass']:7.2f} ms  "
+        return r
+
+    rows = []
+    for m in (1, 2, 8, 64, 100, 128):
+        r = floors(profiling.kernel_roofline(
+            g, m=m, iters=(25 if m <= 8 else 10), measured_roof=stream), m)
+        print(f"quad m={m:3d}: {r['ms_per_pass']:7.2f} ms  "
               f"{r['packed_gbytes_per_s']:6.1f} GB/s  "
               f"{r['measured_roofline_fraction']*100:5.1f}% of verified  "
               f"({r['hbm_roofline_fraction']*100:5.1f}% of nominal)  "
               f"[{r['bound_by']}-bound, {r['fraction_of_floor']*100:5.1f}% "
               f"of floor]", flush=True)
         rows.append(r)
+
+    # ---- production dual-layout (transposed, weight-stationary) path ------
+    print("building dual layout on device...", flush=True)
+    gd = g.with_dual_layout()
+    rows_vt = []
+    for m in (1, 2, 8, 64, 100, 128):
+        r = floors(profiling.kernel_roofline(
+            gd, m=m, iters=(25 if m <= 8 else 10), measured_roof=stream,
+            layout="vt"), m)
+        print(f"vt   m={m:3d}: {r['ms_per_pass']:7.2f} ms  "
+              f"[{r['bound_by']}-bound, {r['fraction_of_floor']*100:5.1f}% "
+              f"of floor]", flush=True)
+        rows_vt.append(r)
 
     out = {
         "device_kind": dev.device_kind,
@@ -107,6 +123,33 @@ def main():
                  "max(DMA, MXU) floor) is the honest utilization metric "
                  "there, not bytes/s."),
         "kernel": rows,
+        "kernel_vt": rows_vt,
+        "production_path": (
+            "dual-layout problems (packed <= linalg._dual_budget) dispatch "
+            "the score to the transposed weight-stationary kernel "
+            "(kernel_vt rows) at every RHS width (_VT_MAX_M); larger "
+            "problems run the quad kernel (kernel rows)"),
+        "walls": {
+            "mosaic_compiler_variance": (
+                "measured round 5: the SAME quad-kernel source compiled by "
+                "the round-4 Mosaic service (persistent-cache binaries, the "
+                "'kernel' rows when cache-warm) runs m=1 9.3 ms / m=100 "
+                "23.4 ms, while a fresh round-5 recompile runs 24.7 / 38.6 "
+                "ms (tools/kernel_lab_results.json) — a 1.6-2.6x codegen "
+                "regression outside this repo's control. The transposed "
+                "kernel does not exhibit it (5.1 ms fresh at m=1, matching "
+                "its round-4 lab measurement), which is why the production "
+                "dispatch prefers it whenever dual storage exists."),
+            "m100_mid_block": (
+                "m=100 -> 300 int8 digit rows = 2.34 128-sublane MXU "
+                "blocks; whole-block processing caps mid-block m at 300/384 "
+                "= 78% of the rhs-columns floor before any other overhead"),
+            "orientation": (
+                "quad layout streams decoded values as the dot lhs "
+                "(gather-friendly storage); weight-stationary ingestion "
+                "measured ~2x faster at narrow m — recovered by the dual "
+                "layout, paid for in +2 bits/genotype HBM"),
+        },
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ROOFLINE.json")

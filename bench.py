@@ -428,6 +428,32 @@ def run_flagship(g, y):
                  "runs as 2 task-chunks of 15 (HBM bound, see models/mv.py)",
             cold_s=round(t_cold, 3),
             best_k=int(np.asarray(list(kw["path"]))[int(np.argmin(mses))]))
+
+        # ---- (d) 18-trait multivariate cv, metabolomic protocol shape --
+        # (round-4 VERDICT missing #3: r=18 multiplies the multi-RHS width
+        # (T*r) and the (T, r, p) state exactly where trait-major
+        # flattening and task-chunking operate; this runs them at their
+        # design width)
+        rng = np.random.default_rng(37)
+        Y18, _ = _mv_response(g, 18, rng)
+        kw = dict(path=range(4590, 4771, 10), q=3, d=m.MvNormal(),
+                  verbose=False, min_iter=10, rng=np.random.default_rng(7))
+        t0 = time.time()
+        mses = m.cv_iht(Y18, g, **kw)
+        t_cold = time.time() - t0
+        t0 = time.time()
+        mses = m.cv_iht(Y18, g, **kw)
+        add("mv18_cv_iht_n10k_p1M_finegrid_q3", time.time() - t0, 56714.0,
+            "different-shape reference",
+            note="reference UKBB metabolomic final-stage protocol shape "
+                 "(r=18 traits, fine grid path=4590:10:4770 around the "
+                 "reference's best k=4678, q=3, min_iter=10; "
+                 "manuscript/UKBB_metabolomic/iht.jl + "
+                 "cviht.summary.final.txt: 56,714 s at ~100k x ~470k, "
+                 "32 threads). 57 (fold, k) tasks, task-chunked (HBM "
+                 "bound); data here is simulated 10k x 1M",
+            cold_s=round(t_cold, 3),
+            best_k=int(np.asarray(list(kw["path"]))[int(np.argmin(mses))]))
     except Exception as e:                       # write what succeeded
         import traceback
         err = f"{type(e).__name__}: {e}"
@@ -473,17 +499,24 @@ def run_stream():
     out = {"device": str(jax.devices()[0].device_kind)}
 
     # measured host->device link rate (the denominator for streamed passes);
-    # warm up first — the first device op pays init/backlog on this tunnel
-    warm = jnp.asarray(np.ones((4, 1024, 1024), np.uint8))
+    # warm up first — the first device op pays init/backlog on this tunnel.
+    # MUST be INCOMPRESSIBLE data: round 4 measured this with np.ones, which
+    # the remote tunnel compresses — the resulting 71 MB/s "link rate" made
+    # the genotype pass (high-entropy packed bytes, ~25-33 MB/s raw) read as
+    # 47% overlap when it was in fact link-saturated (round-5
+    # tools/stream_probe.py: streamed xtr runs 1.29x FASTER than
+    # back-to-back sequential puts of the same bytes).
+    rng_l = np.random.default_rng(123)
+    warm = jnp.asarray(rng_l.integers(0, 256, (4, 1024, 1024), np.uint8))
     np.asarray(jnp.sum(warm[0, 0]))
     del warm
     t0 = time.time()
-    buf = jnp.asarray(np.ones((256, 1024, 1024), np.uint8))
+    buf = jnp.asarray(rng_l.integers(0, 256, (256, 1024, 1024), np.uint8))
     np.asarray(jnp.sum(buf[0, 0]))
     link_gbs = buf.nbytes / (time.time() - t0) / 1e9
     del buf
     out["h2d_link_gbytes_per_s"] = round(link_gbs, 3)
-    log(f"[stream] h2d link: {link_gbs:.2f} GB/s")
+    log(f"[stream] h2d link (incompressible): {link_gbs:.2f} GB/s")
 
     # ---- (a) 10k x 1M streamed == resident parity -----------------------
     g, y, causal, beta = load_problem()

@@ -11,9 +11,8 @@ the fused path up to float reduction order.
 
 Supports the full univariate feature set (all GLMs, NB nuisance, group /
 doubly-sparse projection, weights, zkeep, debias) — those pieces are
-op-free or use only the operator contract.  Multivariate traits are not
-routed here (an out-of-HBM multivariate problem should shard across chips
-instead, parallel/).
+op-free or use only the operator contract.  Multivariate traits have their
+own host-stepped twin in models/mv_streamed.py.
 """
 
 from __future__ import annotations

@@ -304,3 +304,30 @@ def test_fit_dual_layout_equals_quad_on_tpu(rng):
         set_kernel_backend("xla")
     assert np.flatnonzero(r0.beta).tolist() == np.flatnonzero(r1.beta).tolist()
     assert abs(r0.logl - r1.logl) < 1e-3 * abs(r0.logl)
+
+
+def test_make_operator_builds_dual_layout(rng):
+    """Under the pallas backend, make_operator auto-builds the transposed
+    score layout for problems within the dual-storage budget, and skips it
+    past the budget (docs/FAQ.md capacity ladder)."""
+    import os
+    from mendeliht_tpu.ops.linalg import (make_operator, set_kernel_backend,
+                                          PackedOp)
+
+    codes = _random_codes(rng, 64, 32).T             # (n, p) sample-major
+    g = PackedGenotypes.from_codes(codes)
+    try:
+        set_kernel_backend("pallas")
+        op = make_operator(g)
+        assert isinstance(op, PackedOp)
+        assert op.geno.words_t is not None
+        assert op.geno.words_t.shape == (g.words.shape[1] // 4, g.p)
+        os.environ["MENDELIHT_DUAL_MAX_BYTES"] = "0"
+        op2 = make_operator(PackedGenotypes.from_codes(codes))
+        assert op2.geno.words_t is None
+    finally:
+        os.environ.pop("MENDELIHT_DUAL_MAX_BYTES", None)
+        set_kernel_backend("xla")
+    # the XLA backend never builds it (off-TPU path)
+    op3 = make_operator(PackedGenotypes.from_codes(codes))
+    assert op3.geno.words_t is None

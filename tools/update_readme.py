@@ -43,9 +43,9 @@ LABELS = {
     "mv3_cv_iht_n10k_p1M_path100-1000_q3":
         ("**Multivariate 3-trait cv, 10k x 1M, path=100:100:1000, q=3**",
          "12,290 s*", "*reference UKBB protocol verbatim, shape differs"),
-    "mv18_cv_iht_n10k_p1M_path100-1000_q3":
-        ("**Multivariate 18-trait cv, 10k x 1M, path=100:100:1000, q=3**",
-         "56,714 s*", "*reference metabolomic protocol, shape differs"),
+    "mv18_cv_iht_n10k_p1M_finegrid_q3":
+        ("**Multivariate 18-trait cv, 10k x 1M, path=4590:10:4770, q=3**",
+         "56,714 s*", "*reference metabolomic final-grid protocol, shape differs"),
     "mv_iht_fit_r2_n1k_p10k":
         ("Multivariate fit, 2 traits, 1k x 10k", "—",
          "no committed ref run"),

@@ -225,3 +225,26 @@ def test_streamed_fit_io_tee(rng):
     text = buf.getvalue()
     assert "Iteration 1: loglikelihood = " in text
     assert "backtracks" in text
+
+
+def test_streamed_mv_fit_checkpoint_resume(tmp_path):
+    """Streamed mv fits checkpoint/resume like univariate ones."""
+    rng = np.random.default_rng(607)
+    g = _problem(rng, n=150, p=100, missing=False)
+    Xd = g.to_dense_standardized()
+    Btrue = np.zeros((2, g.p))
+    for j in rng.choice(g.p, 3, replace=False):
+        Btrue[rng.integers(0, 2), j] = rng.standard_normal() * 2
+    Y = Btrue @ Xd.T + 0.1 * rng.standard_normal((2, g.n))
+    ck = tmp_path / "mvck"
+
+    r1 = m.fit_iht(Y, _stream(g, block_bytes=2048), k=3, d=m.MvNormal(),
+                   max_iter=30, verbose=False, checkpoint_dir=str(ck),
+                   checkpoint_every=1)
+    import os
+    assert any(nm.startswith("step_") for nm in os.listdir(ck))
+    r2 = m.fit_iht(Y, _stream(g, block_bytes=2048), k=3, d=m.MvNormal(),
+                   max_iter=30, verbose=False, checkpoint_dir=str(ck),
+                   checkpoint_every=1)
+    np.testing.assert_array_equal(r2.beta, r1.beta)
+    assert r2.logl == r1.logl

@@ -547,17 +547,43 @@ def xt_dots_words_t(words_t: jnp.ndarray, rhs: jnp.ndarray, *,
     return A, M, S
 
 
-def build_words_t(words: jnp.ndarray, p: int) -> jnp.ndarray:
+def build_words_t(words: jnp.ndarray, p: int,
+                  chunk_q: int = 32768) -> jnp.ndarray:
     """Derive the transposed per-SNP word view (nw, p) ON DEVICE from the
     canonical quad words (p4, n4) — no host round-trip (the packed matrix
-    may be GBs and the host link slow).  One-time relayout at problem build;
-    transient peak ~2x packed bytes."""
+    may be GBs and the host link slow).
+
+    CHUNKED + JITTED: an eager whole-matrix relayout materializes every
+    intermediate separately (~7x packed bytes live at once — measured OOM at
+    10k x 1M on a 14.5 GiB chip); the chunked jitted step bounds the
+    transient to O(chunk) beyond input + output (~2x packed + ~0.4 GB)."""
     p4, n4 = words.shape
-    by = jax.lax.bitcast_convert_type(words, jnp.uint8)       # (p4, n4, 4)
-    packed = jnp.transpose(by, (0, 2, 1)).reshape(4 * p4, n4)[:p]
-    snp_words = jax.lax.bitcast_convert_type(
-        packed.reshape(p, n4 // 4, 4), jnp.int32)             # (p, nw)
-    return jnp.transpose(snp_words, (1, 0))                   # (nw, p)
+    nw = n4 // 4
+    p_tot = 4 * p4
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("c",))
+    def step(out, w_chunk, lo, c):
+        # byte-extract / byte-pack arithmetically in 2-D i32 — a (..., 4)
+        # minor axis would be 128-lane padded on TPU (u32[c, n4, 4] wants
+        # 32x its logical bytes at compile time; measured 40 GiB alloc
+        # failure at 10k x 1M)
+        rows = jnp.stack(
+            [(w_chunk >> (8 * k)) & 0xFF for k in range(4)],
+            axis=1).reshape(4 * c, n4)              # row 4i+k = SNP 4i+k
+        sw = (rows[:, 0::4] | (rows[:, 1::4] << 8)
+              | (rows[:, 2::4] << 16) | (rows[:, 3::4] << 24))  # (4c, nw)
+        return jax.lax.dynamic_update_slice(
+            out, jnp.transpose(sw, (1, 0)), (0, 4 * lo))
+
+    out = jnp.zeros((nw, p_tot), jnp.int32)
+    for lo in range(0, p4, chunk_q):
+        hi = min(lo + chunk_q, p4)
+        c = hi - lo
+        out = step(out, words[lo:hi], jnp.int32(lo), c)
+    # keep the quad-padded column count: pad SNPs are zero rows, and the
+    # kernel's `p` argument slices them off the OUTPUT — avoids a full
+    # out-sized slice copy here
+    return out
 
 
 def xt_dots(packed: jnp.ndarray, rhs: jnp.ndarray, *, want_missing: bool,

@@ -271,17 +271,28 @@ def test_xt_dots_t_padding_chunking_and_nan(rng):
 
 
 def test_build_words_t_matches_host(rng):
-    """Device-side dual-layout builder == the host transpose oracle."""
+    """Device-side chunked dual-layout builder == the host transpose oracle
+    (true columns; quad-pad columns are zero rows)."""
     n, p = 100, 23
     codes = _random_codes(rng, n, p)
     packed = pack_codes(codes)
     g = PackedGenotypes.from_codes(codes.T)          # sample-major input
-    wt_dev = pk.build_words_t(g.words, g.p)
-    np.testing.assert_array_equal(np.asarray(wt_dev),
+    wt_dev = pk.build_words_t(g.words, g.p, chunk_q=2)   # force chunking
+    assert wt_dev.shape == (g.words.shape[1] // 4, 4 * g.words.shape[0])
+    np.testing.assert_array_equal(np.asarray(wt_dev)[:, :p],
                                   _words_t_host(packed))
+    assert not np.any(np.asarray(wt_dev)[:, p:])     # pad SNPs inert
     g2 = g.with_dual_layout()
     assert g2.words_t is not None and g2.words_t.shape == wt_dev.shape
     assert g2.with_dual_layout() is g2               # idempotent
+    # the kernel slices pad rows off via p: parity through the dual layout
+    n4 = packed.shape[1]
+    rhs = jnp.asarray(rng.standard_normal((4 * n4, 2)), jnp.float32)
+    A0, _, _ = decode.xt_dots(jnp.asarray(packed), rhs, want_missing=True)
+    A1, _, _ = pk.xt_dots_words_t(g2.words_t, rhs, want_missing=True,
+                                  tp=8, tw=16, interpret=True, p=p)
+    scale = max(1.0, float(np.abs(np.asarray(A0)).max()))
+    assert np.max(np.abs(np.asarray(A1) - np.asarray(A0))) / scale < 2e-5
 
 
 @pytest.mark.skipif(jnp.zeros(1).devices().pop().platform != "tpu",
@@ -321,7 +332,8 @@ def test_make_operator_builds_dual_layout(rng):
         op = make_operator(g)
         assert isinstance(op, PackedOp)
         assert op.geno.words_t is not None
-        assert op.geno.words_t.shape == (g.words.shape[1] // 4, g.p)
+        assert op.geno.words_t.shape == (g.words.shape[1] // 4,
+                                         4 * g.words.shape[0])
         os.environ["MENDELIHT_DUAL_MAX_BYTES"] = "0"
         op2 = make_operator(PackedGenotypes.from_codes(codes))
         assert op2.geno.words_t is None

@@ -236,12 +236,62 @@ def xt_dots_T(wordsT, rhs, tp=1024, tw=None):
     return out.T
 
 
+def attrib(g):
+    """Attribute the m=100 gap to floor (VERDICT r4 weak #2): time the vt
+    kernel with 3, 2, 1 digit planes (same DMA + decode, 1/3..3/3 of the
+    MXU work) and a decode-free reader.  The plane sweep separates
+    MXU-dot time from decode+DMA time."""
+    from mendeliht_tpu.ops import pallas_kernels as pk
+    from mendeliht_tpu.utils import profiling
+
+    out = {}
+    g = g.with_dual_layout()
+    WT = g.words_t
+    n_pad = g.n_pad
+    m = 100
+    for planes in (3, 2, 1):
+        def f(a, r, planes=planes):
+            A, _, _ = pk.xt_dots_words_t(a, r, want_missing=False, p=g.p)
+            return A
+        if planes == 3:
+            dt = time_kernel(f, WT, n_pad, m)
+        else:
+            # fewer digit planes: time a truncated-rhs call by shrinking m
+            # so the digit-row count matches (300 -> 200 -> 100 rows)
+            dt = time_kernel(f, WT, n_pad, m * planes // 3)
+        out[f"digit_rows_{planes * 100}"] = dt * 1e3
+        print(f"vt m-equiv {planes}/3 digit rows: {dt*1e3:7.2f} ms",
+              flush=True)
+    bw = profiling.stream_bandwidth_pallas(g)
+    out["reader_only_ms"] = g.words.nbytes / bw * 1e3
+    print(f"decode-free reader pass:  {out['reader_only_ms']:7.2f} ms",
+          flush=True)
+    return out
+
+
 def main():
     import bench
     from mendeliht_tpu.ops import pallas_kernels as pk
 
     quick = "--quick" in sys.argv
     results = {"device": str(jax.devices()[0].device_kind)}
+
+    if "--attrib" in sys.argv:
+        g, y, causal, beta = bench.load_problem()
+        np.asarray(jnp.sum(g.words[0]))
+        results["attrib_m100"] = attrib(g)
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "kernel_lab5_results.json")
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = {}
+        prev.update(results)
+        with open(out, "w") as f:
+            json.dump(prev, f, indent=2)
+        print("wrote", out, flush=True)
+        return
 
     print("== int4 probes ==", flush=True)
     results["int4_probe"] = probe_int4()

@@ -286,15 +286,16 @@ class PackedGenotypes:
         )
 
     def with_dual_layout(self) -> "PackedGenotypes":
-        """Return a copy that ALSO stores the transposed per-SNP word view
-        (score-only layout; see ops/pallas_kernels.xt_dots_words_t).  The
-        relayout runs on device — no host round-trip.  Idempotent."""
-        if self.words_t is not None:
-            return self
-        from ..ops.pallas_kernels import build_words_t
-        return dataclasses.replace(
-            self, words_t=build_words_t(self.words, self.p),
-            maf_=self.maf_, n_missing=self.n_missing)
+        """Attach the transposed per-SNP word view (score-only layout; see
+        ops/pallas_kernels.xt_dots_words_t) and return self.  The relayout
+        runs on device — no host round-trip.  Idempotent, and deliberately
+        IN PLACE: repeated operator builds on the same genotypes (e.g. one
+        matrix fit under several GLMs) must share ONE words_t — a
+        copy-per-build would hold N x packed bytes of HBM."""
+        if self.words_t is None:
+            from ..ops.pallas_kernels import build_words_t
+            self.words_t = build_words_t(self.words, self.p)
+        return self
 
     # -- host-side dense views (tests / small problems) --------------------
     def packed_np(self) -> np.ndarray:

@@ -549,40 +549,14 @@ def run_stream():
 
     # ---- (b) larger-than-HBM: 80k x 1M = 20.5 GB packed -----------------
     n_big, p_big = 80_000, P
-    fpk = os.path.join(CACHE, f"stream_{n_big}x{p_big}_L{_LANE}_packed.npy")
-    fst = os.path.join(CACHE, f"stream_{n_big}x{p_big}_L{_LANE}_stats.npz")
-    if os.path.isfile(fpk):
-        log("[stream] loading cached 80k x 1M problem...")
-        packed = np.load(fpk, mmap_mode="r")
-        d = np.load(fst)
-        mu, inv_sd, causal_b, beta_b = (d["mu"], d["inv_sd"], d["causal"],
-                                        d["beta"])
-    else:
-        log(f"[stream] simulating {n_big}x{p_big} (one-time, ~10 min)...")
-        rng = np.random.default_rng(80_2026)
-        packed, mu, inv_sd, _, causal_b, beta_b = _gen_problem(
-            rng, n=n_big, p=p_big)
-        np.save(fpk, packed)
-        np.savez(fst, mu=mu, inv_sd=inv_sd, causal=causal_b, beta=beta_b)
-    # response simulated on the HOST (device gathers of a >HBM matrix are
-    # impossible by definition)
-    n4 = packed.shape[1]
-    xb = np.zeros(n_big)
-    for j, b in zip(causal_b, beta_b):
-        row = np.asarray(packed[j])
-        vals = np.empty(4 * n4, np.float32)
-        for sdx in range(4):
-            c = (row >> (2 * sdx)) & 3
-            vals[sdx * n4:(sdx + 1) * n4] = np.where(
-                c == 2, 1.0, np.where(c == 3, 2.0, 0.0))
-        xb += b * inv_sd[j] * (vals[:n_big] - mu[j])
-    y_big = xb + 1.0 + np.random.default_rng(7).standard_normal(n_big)
-
-    words_np = _bytes_to_words(np.ascontiguousarray(packed))
+    words_np, mu, inv_sd, causal_b, beta_b, y_big = _load_80k()
+    import jax.numpy as jnp
     sgeno = HostStreamedGenotypes(
         words_np=words_np, mu=jnp.asarray(mu.astype(np.float32)),
         inv_sd=jnp.asarray(inv_sd.astype(np.float32)),
-        n=n_big, p=p_big, has_missing=False)
+        n=n_big, p=p_big, has_missing=False,
+        resident_bytes=0)   # pure streaming: the accounting below measures
+                            # the LINK-BOUND pass, not hybrid residency
     packed_gb = words_np.nbytes / 1e9
     log(f"[stream] 80k x 1M: {packed_gb:.1f} GB packed "
         f"(> 16 GB v5e HBM), streaming from host RAM")
@@ -610,30 +584,102 @@ def run_stream():
         f"{t_xfer_only:.1f}s ({t_xfer_only / t_pass:.0%} overlap)")
     _dump_stream(out)
 
-    if not os.environ.get("MENDELIHT_STREAM_FULL"):
-        out["fit_80k_x_1M"] = {
-            "skipped": True,
-            "note": ("end-to-end fit deferred: at this remote tunnel's "
-                     "~20 MB/s effective streamed rate a ~6-pass fit takes "
-                     "~1.7 h; the per-pass accounting above and the "
-                     "exact-parity end-to-end 10k x 1M streamed fit cover "
-                     "the mechanism. On a real TPU host (PCIe/DMA >= 10 "
-                     "GB/s) the same pass is ~2 s. Set "
-                     "MENDELIHT_STREAM_FULL=1 to run it."),
-        }
-        _dump_stream(out)
-        log("[stream] 80k fit skipped (MENDELIHT_STREAM_FULL unset)")
-        print(json.dumps({"metric": "stream_pass_80k_x_1M_seconds",
-                          "value": out["pass_80k_x_1M"]["xtr_pass_s"],
-                          "unit": "s", "vs_baseline": None}))
-        return
+    out["fit_80k_x_1M"] = {
+        "deferred_to": "python bench.py --stream-fit80",
+        "note": ("the end-to-end >HBM fit runs as its OWN process (the "
+                 "remote axon client never reclaims host transfer staging "
+                 "buffers — every streamed byte stays in RSS, "
+                 "tools/stream_probe.py — so the fit needs a fresh leak "
+                 "budget and hybrid HBM residency; see "
+                 "ops/streaming.py resident_bytes)"),
+    }
+    _dump_stream(out)
+    print(json.dumps({"metric": "stream_pass_80k_x_1M_seconds",
+                      "value": out["pass_80k_x_1M"]["xtr_pass_s"],
+                      "unit": "s", "vs_baseline": None}))
 
+
+def _load_80k(mmap_words: bool = False):
+    """Load (or simulate once) the 80k x 1M out-of-core problem.
+
+    Returns (words_np, mu, inv_sd, causal, beta, y).  With
+    ``mmap_words=True`` the quad words are cached to disk and memory-mapped
+    — file-backed pages instead of 20.5 GB of anonymous RSS, which matters
+    in the fit process where the axon client's transfer-buffer leak eats
+    the RAM headroom."""
+    from mendeliht_tpu.genotype.snparray import _bytes_to_words, _LANE
+    n_big, p_big = 80_000, P
+    fpk = os.path.join(CACHE, f"stream_{n_big}x{p_big}_L{_LANE}_packed.npy")
+    fst = os.path.join(CACHE, f"stream_{n_big}x{p_big}_L{_LANE}_stats.npz")
+    fwd = os.path.join(CACHE, f"stream_{n_big}x{p_big}_L{_LANE}_words.npy")
+    if os.path.isfile(fpk):
+        log("[stream] loading cached 80k x 1M problem...")
+        packed = np.load(fpk, mmap_mode="r")
+        d = np.load(fst)
+        mu, inv_sd, causal_b, beta_b = (d["mu"], d["inv_sd"], d["causal"],
+                                        d["beta"])
+    else:
+        log(f"[stream] simulating {n_big}x{p_big} (one-time, ~10 min)...")
+        rng = np.random.default_rng(80_2026)
+        packed, mu, inv_sd, _, causal_b, beta_b = _gen_problem(
+            rng, n=n_big, p=p_big)
+        np.save(fpk, packed)
+        np.savez(fst, mu=mu, inv_sd=inv_sd, causal=causal_b, beta=beta_b)
+    # response simulated on the HOST (device gathers of a >HBM matrix are
+    # impossible by definition)
+    n4 = packed.shape[1]
+    xb = np.zeros(n_big)
+    for j, b in zip(causal_b, beta_b):
+        row = np.asarray(packed[j])
+        vals = np.empty(4 * n4, np.float32)
+        for sdx in range(4):
+            c = (row >> (2 * sdx)) & 3
+            vals[sdx * n4:(sdx + 1) * n4] = np.where(
+                c == 2, 1.0, np.where(c == 3, 2.0, 0.0))
+        xb += b * inv_sd[j] * (vals[:n_big] - mu[j])
+    y_big = xb + 1.0 + np.random.default_rng(7).standard_normal(n_big)
+
+    if mmap_words:
+        if not os.path.isfile(fwd):
+            log("[stream] caching quad words to disk (one-time)...")
+            np.save(fwd, _bytes_to_words(np.ascontiguousarray(packed)))
+        words_np = np.load(fwd, mmap_mode="r")
+    else:
+        words_np = _bytes_to_words(np.ascontiguousarray(packed))
+    return words_np, mu, inv_sd, causal_b, beta_b, y_big
+
+
+def run_stream_fit80():
+    """End-to-end >HBM fit (80k x 1M = 20.5 GB packed vs 16 GB HBM) as its
+    own process: hybrid residency (~10 GiB pinned in HBM, remainder
+    streamed per pass) + mmap'd host words keep peak RSS inside the axon
+    client's transfer-buffer leak budget.  Merges fit_80k_x_1M into
+    STREAM.json."""
+    import jax
+    import jax.numpy as jnp
+    import mendeliht_tpu as m
+    from mendeliht_tpu.ops.streaming import HostStreamedGenotypes
+
+    n_big, p_big = 80_000, P
+    words_np, mu, inv_sd, causal_b, beta_b, y_big = _load_80k(
+        mmap_words=True)
+    sgeno = HostStreamedGenotypes(
+        words_np=words_np, mu=jnp.asarray(mu.astype(np.float32)),
+        inv_sd=jnp.asarray(inv_sd.astype(np.float32)),
+        n=n_big, p=p_big, has_missing=False)     # default hybrid residency
+    log(f"[stream-fit80] {words_np.nbytes/1e9:.1f} GB packed, hybrid "
+        f"residency on")
+
+    ckdir = os.path.join(CACHE, "fit80_ck")
     t0 = time.time()
-    res_b = m.fit_iht(y_big, sgeno, k=K, d=m.Normal(), verbose=False)
+    res_b = m.fit_iht(y_big, sgeno, k=K, d=m.Normal(), verbose=False,
+                      checkpoint_dir=ckdir, checkpoint_every=1)
     t_fit = time.time() - t0
     found = set(np.flatnonzero(res_b.beta))
     big_eff = set(causal_b[np.abs(beta_b) > 0.3])
-    out["fit_80k_x_1M"] = {
+    from mendeliht_tpu.ops.streaming import StreamedPackedOp
+    p_res = StreamedPackedOp(sgeno).p_res
+    row = {
         "wall_s": round(t_fit, 1),
         "iters": res_b.iter,
         "logl": res_b.logl,
@@ -641,23 +687,31 @@ def run_stream():
         "large_effect_recovered": f"{len(found & big_eff)}/{len(big_eff)}",
         "full_passes": 1 + res_b.iter,
         "s_per_pass": round(t_fit / (1 + res_b.iter), 1),
+        "hybrid_resident_snps": int(p_res),
+        "streamed_gbytes_per_pass": round(
+            (words_np.nbytes - p_res // 4 * words_np.shape[1] * 4) / 1e9, 2),
         "note": ("reference comparison: its n=120k x 1M rows (30 GB packed) "
                  "ran 2428-30340 s on a 62 GB Xeon node via mmap "
                  "(BASELINE.md); this 20.5 GB problem exceeds the 16 GB v5e "
-                 "HBM and streams from host RAM with no capacity cliff. On "
-                 "a real (non-tunneled) TPU host the link is PCIe/DMA "
+                 "HBM — ~10 GiB rides HBM (hybrid residency) and the rest "
+                 "streams from host RAM per pass, with no capacity cliff. "
+                 "On a real (non-tunneled) TPU host the link is PCIe/DMA "
                  "~10-50x faster than this remote tunnel"),
     }
-    log(f"[stream] 80k x 1M fit: {t_fit:.1f}s, {res_b.iter} iters, "
-        f"recovered {len(found & set(causal_b))}/{K}")
-
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "STREAM.json")
+    try:
+        with open(path) as f:
+            out = json.load(f)
+    except Exception:
+        out = {}
+    out["fit_80k_x_1M"] = row
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    log("wrote", path)
+    log(f"[stream-fit80] fit: {t_fit:.1f}s, {res_b.iter} iters, "
+        f"recovered {len(found & set(causal_b))}/{K}; wrote {path}")
     print(json.dumps({"metric": "stream_fit_80k_x_1M_wall_seconds",
-                      "value": out["fit_80k_x_1M"]["wall_s"], "unit": "s",
+                      "value": row["wall_s"], "unit": "s",
                       "vs_baseline": None}))
 
 
@@ -672,6 +726,10 @@ def main():
     if "--scale" in sys.argv:
         run_scale()
         return
+    if "--stream-fit80" in sys.argv:
+        run_stream_fit80()
+        return
+
     if "--stream" in sys.argv:
         run_stream()
         return

@@ -37,11 +37,35 @@ from ..genotype.snparray import (PackedGenotypes, _bytes_to_words,
                                  _repack_bed_host, _ceil_to, _LANE)
 
 
+_RESIDENT_DEFAULT = 10 * 2**30
+
+
+def _resident_budget() -> int:
+    """HBM bytes the streamed operator may pin resident (hybrid residency).
+
+    Default 10 GiB of the v5e's ~14.5 GiB usable — the rest is left for
+    solver state, block double-buffers, and outputs.  Override with
+    MENDELIHT_STREAM_RESIDENT_BYTES (0 = pure streaming)."""
+    import os
+    try:
+        return int(os.environ.get("MENDELIHT_STREAM_RESIDENT_BYTES",
+                                  _RESIDENT_DEFAULT))
+    except ValueError:
+        return _RESIDENT_DEFAULT
+
+
 @dataclasses.dataclass
 class HostStreamedGenotypes:
     """2-bit packed genotypes resident in host RAM (words layout), streamed
     through the device block-by-block.  Same statistics/layout contract as
-    :class:`PackedGenotypes`; `mu`/`inv_sd` are small and live on device."""
+    :class:`PackedGenotypes`; `mu`/`inv_sd` are small and live on device.
+
+    HYBRID RESIDENCY (round 5): up to ``resident_bytes`` of the leading
+    quad-word rows are pinned in HBM once at operator build; full-width
+    passes then stream only the remainder — at the default 10 GiB budget a
+    20.5 GB matrix moves ~half the bytes per pass over the host link.
+    ``resident_bytes=None`` reads MENDELIHT_STREAM_RESIDENT_BYTES
+    (default 10 GiB); 0 streams everything."""
 
     words_np: np.ndarray          # (ceil(p/4), n4) int32 quad words, host
     mu: jnp.ndarray               # (p,) device
@@ -50,6 +74,7 @@ class HostStreamedGenotypes:
     p: int
     has_missing: bool
     block_bytes: int = 1 << 30    # ~1 GiB of packed words per streamed block
+    resident_bytes: int | None = None
 
     @property
     def n_pad(self) -> int:
@@ -67,17 +92,21 @@ class HostStreamedGenotypes:
                 f"block_p={self.block_p}, has_missing={self.has_missing})")
 
     @classmethod
-    def from_snparray(cls, geno: PackedGenotypes,
-                      block_bytes: int = 1 << 30) -> "HostStreamedGenotypes":
+    def from_snparray(cls, geno: PackedGenotypes, block_bytes: int = 1 << 30,
+                      resident_bytes: int | None = None,
+                      ) -> "HostStreamedGenotypes":
         """Demote an HBM-resident PackedGenotypes to host storage (tests /
         problems that grew past HBM)."""
         return cls(words_np=np.asarray(geno.words), mu=geno.mu,
                    inv_sd=geno.inv_sd, n=geno.n, p=geno.p,
-                   has_missing=geno.has_missing, block_bytes=block_bytes)
+                   has_missing=geno.has_missing, block_bytes=block_bytes,
+                   resident_bytes=resident_bytes)
 
     @classmethod
     def from_plink(cls, prefix: str, dtype=jnp.float32,
-                   block_bytes: int = 1 << 30) -> "HostStreamedGenotypes":
+                   block_bytes: int = 1 << 30,
+                   resident_bytes: int | None = None,
+                   ) -> "HostStreamedGenotypes":
         """Read `prefix.bed` (+ .bim for p, .fam for n) straight into host
         words — the packed matrix never touches the device whole."""
         from ..genotype.plink import _bed_payload
@@ -89,7 +118,7 @@ class HostStreamedGenotypes:
                    mu=jnp.asarray(mu.astype(np_dtype)),
                    inv_sd=jnp.asarray(inv_sd.astype(np_dtype)),
                    n=n, p=p, has_missing=has_missing,
-                   block_bytes=block_bytes)
+                   block_bytes=block_bytes, resident_bytes=resident_bytes)
 
 
 class StreamedPackedOp:
@@ -101,6 +130,20 @@ class StreamedPackedOp:
 
     def __init__(self, geno: HostStreamedGenotypes):
         self.geno = geno
+        budget = (geno.resident_bytes if geno.resident_bytes is not None
+                  else _resident_budget())
+        p4, n4 = geno.words_np.shape
+        res_q = max(0, min(p4, int(budget) // (n4 * 4)))
+        self.p_res = min(4 * res_q, geno.p)   # SNPs resident on device
+        self._res_op = None
+        if res_q > 0:
+            from .linalg import PackedOp
+            blk = PackedGenotypes(
+                words=jax.device_put(geno.words_np[:res_q]),
+                mu=geno.mu[:self.p_res], inv_sd=geno.inv_sd[:self.p_res],
+                n=geno.n, p=self.p_res, has_missing=geno.has_missing,
+                maf_=None, n_missing=None)
+            self._res_op = PackedOp(blk)
 
     n = property(lambda self: self.geno.n)
     p = property(lambda self: self.geno.p)
@@ -123,8 +166,10 @@ class StreamedPackedOp:
         return PackedOp(blk)
 
     def _blocks(self):
+        """Streamed SNP ranges: everything past the resident prefix."""
         bp = self.geno.block_p
-        return [(lo, min(lo + bp, self.p)) for lo in range(0, self.p, bp)]
+        return [(lo, min(lo + bp, self.p))
+                for lo in range(self.p_res, self.p, bp)]
 
     @staticmethod
     def _drain(x):
@@ -139,34 +184,38 @@ class StreamedPackedOp:
         np.asarray(leaf.ravel()[0])
 
     def xtr(self, R: jnp.ndarray) -> jnp.ndarray:
-        """Standardized X'R, streamed: one pass over host words per call.
+        """Standardized X'R: resident prefix on-device + one streamed pass
+        over the remaining host words.
 
         The device_put of block i+1 is issued right after block i's kernel
         is dispatched (both async), so transfer and compute overlap; block
         i-1 is drained before queueing further (bounded memory)."""
+        outs = [] if self._res_op is None else [self._res_op.xtr(R)]
         blocks = self._blocks()
-        nxt = self._block_op(*blocks[0])
-        outs = []
-        for b in range(len(blocks)):
-            op_b = nxt
-            if b + 1 < len(blocks):
-                nxt = self._block_op(*blocks[b + 1])  # async H2D for next
-            outs.append(op_b.xtr(R))                  # (B, pb)
-            if b >= 1:
-                self._drain(outs[b - 1])
-        return jnp.concatenate(outs, axis=1)
+        if blocks:
+            nxt = self._block_op(*blocks[0])
+            for b in range(len(blocks)):
+                op_b = nxt
+                if b + 1 < len(blocks):
+                    nxt = self._block_op(*blocks[b + 1])  # async H2D next
+                outs.append(op_b.xtr(R))                  # (B, pb)
+                if b >= 1:
+                    self._drain(outs[-2])
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
     def col_moments(self, W: jnp.ndarray, WY: jnp.ndarray):
+        outs = ([] if self._res_op is None
+                else [self._res_op.col_moments(W, WY)])
         blocks = self._blocks()
-        nxt = self._block_op(*blocks[0])
-        outs = []
-        for b in range(len(blocks)):
-            op_b = nxt
-            if b + 1 < len(blocks):
-                nxt = self._block_op(*blocks[b + 1])
-            outs.append(op_b.col_moments(W, WY))
-            if b >= 1:
-                self._drain(outs[b - 1])
+        if blocks:
+            nxt = self._block_op(*blocks[0])
+            for b in range(len(blocks)):
+                op_b = nxt
+                if b + 1 < len(blocks):
+                    nxt = self._block_op(*blocks[b + 1])
+                outs.append(op_b.col_moments(W, WY))
+                if b >= 1:
+                    self._drain(outs[-2])
         Sx = jnp.concatenate([o[0] for o in outs], axis=1)
         Sxx = jnp.concatenate([o[1] for o in outs], axis=1)
         Sxy = jnp.concatenate([o[2] for o in outs], axis=1)

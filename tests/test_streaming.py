@@ -23,9 +23,10 @@ def _problem(rng, n=150, p=90, missing=True):
     return PackedGenotypes.from_codes(codes)
 
 
-def _stream(g, block_bytes=256):
+def _stream(g, block_bytes=256, resident_bytes=0):
     s = HostStreamedGenotypes.from_snparray(g, block_bytes=block_bytes)
-    assert s.block_p < s.p  # really multi-block
+    s.resident_bytes = resident_bytes    # 0 = pure streaming (exercise the
+    assert s.block_p < s.p               # block loop, not hybrid residency)
     return s
 
 
@@ -248,3 +249,59 @@ def test_streamed_mv_fit_checkpoint_resume(tmp_path):
                    checkpoint_every=1)
     np.testing.assert_array_equal(r2.beta, r1.beta)
     assert r2.logl == r1.logl
+
+
+class TestHybridResidency:
+    """Hybrid residency (round 5): a resident HBM prefix + streamed
+    remainder must equal both the pure-streamed and the resident operator.
+    Motivation: halves link traffic per pass AND bounds the per-pass
+    host-RAM cost on clients whose transfer buffers are never reclaimed
+    (the measured axon leak, tools/stream_probe.py)."""
+
+    def _ops(self, rng, resident_bytes):
+        g = _problem(rng, n=150, p=90)
+        s = HostStreamedGenotypes.from_snparray(
+            g, block_bytes=256, resident_bytes=resident_bytes)
+        return g, StreamedPackedOp(s)
+
+    def test_partial_resident_ops_match(self, rng):
+        g, sop = self._ops(rng, resident_bytes=40 * 128)  # ~40 quad rows
+        assert 0 < sop.p_res < sop.p
+        rop = PackedOp(g)
+        R = jnp.asarray(rng.standard_normal((3, rop.n_pad)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(sop.xtr(R)),
+                                   np.asarray(rop.xtr(R)),
+                                   rtol=2e-5, atol=2e-5)
+        W = jnp.abs(R[:2])
+        WY = W * R[1:]
+        for a, b in zip(sop.col_moments(W, WY), rop.col_moments(W, WY)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+        idx = jnp.asarray(rng.integers(0, rop.p, size=(3, 7)))
+        coef = jnp.asarray(rng.standard_normal((3, 7)), jnp.float32)
+        valid = jnp.asarray(rng.random((3, 7)) < 0.8, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(sop.forward_sel(idx, coef, valid)),
+            np.asarray(rop.forward_sel(idx, coef, valid)),
+            rtol=2e-5, atol=2e-5)
+
+    def test_fully_resident_matches(self, rng):
+        g, sop = self._ops(rng, resident_bytes=1 << 30)
+        assert sop.p_res == sop.p and not sop._blocks()
+        rop = PackedOp(g)
+        R = jnp.asarray(rng.standard_normal((2, rop.n_pad)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(sop.xtr(R)),
+                                   np.asarray(rop.xtr(R)),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_hybrid_fit_matches(self):
+        rng = np.random.default_rng(608)
+        g = _problem(rng, n=200, p=150, missing=False)
+        y, _, _ = m.simulate_random_response(g, 4, m.Normal(), rng=rng)
+        r0 = m.fit_iht(y, g, k=4, d=m.Normal(), max_iter=40, verbose=False)
+        s = HostStreamedGenotypes.from_snparray(
+            g, block_bytes=2048, resident_bytes=30 * g.words.shape[1] * 4)
+        r1 = m.fit_iht(y, s, k=4, d=m.Normal(), max_iter=40, verbose=False)
+        assert (np.flatnonzero(r0.beta).tolist()
+                == np.flatnonzero(r1.beta).tolist())
+        np.testing.assert_allclose(r1.beta, r0.beta, atol=5e-4)

@@ -22,7 +22,9 @@ run profile   python tools/profile_fit.py
 run suite     python bench.py --suite
 run flagship  python bench.py --flagship
 run scale     python bench.py --scale
-STAGE_TIMEOUT=14400 run stream env MENDELIHT_STREAM_FULL=1 python bench.py --stream
+STAGE_TIMEOUT=7200 run stream python bench.py --stream
+# own process: fresh RSS budget for the axon transfer-buffer leak
+STAGE_TIMEOUT=14400 run streamfit python bench.py --stream-fit80
 run readme    python tools/update_readme.py
 run tputests  env MENDELIHT_TEST_PLATFORM=tpu python -m pytest \
     tests/test_pallas.py -q -k on_tpu

@@ -144,6 +144,17 @@ def main():
                 "m=100 -> 300 int8 digit rows = 2.34 128-sublane MXU "
                 "blocks; whole-block processing caps mid-block m at 300/384 "
                 "= 78% of the rhs-columns floor before any other overhead"),
+            "m100_attribution": (
+                "digit-plane sweep (tools/kernel_lab5_results.json "
+                "attrib_m100: 3/3 / 2/3 / 1/3 planes + decode-free reader) "
+                "is linear at ~7 ms per 100 digit rows -> the MXU dot costs "
+                "~21 ms at m=100, i.e. exactly the mid-block-capped floor "
+                "(15.6 ms / 0.78 = 20 ms), with the remaining ~2-3.4 ms the "
+                "decode+DMA stream (3.4 ms DMA floor). Every point between "
+                "the measured fraction_of_floor (0.69) and the 78% cap is "
+                "accounted: measured ms = capped MXU dot + stream residual; "
+                "closing it requires sub-block MXU row issue, which Mosaic "
+                "does not expose"),
             "orientation": (
                 "quad layout streams decoded values as the dot lhs "
                 "(gather-friendly storage); weight-stationary ingestion "
